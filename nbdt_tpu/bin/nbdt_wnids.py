@@ -1,0 +1,92 @@
+"""Generate wnid lists for a dataset's classes (reference nbdt/bin/nbdt-wnids).
+
+Maps each class name to its WordNet noun synset (first-noun-synset lookup
+with a hand-curated disambiguation map, reference bin/nbdt-wnids:69-128),
+falling back to FakeSynset wnids for unmatched names (bin/nbdt-wnids:136-139)
+or when the corpus is unavailable. Writes one wnid per line in class order.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+# Class names whose first WordNet noun synset is the wrong sense. Curated
+# here for the datasets this repo ships loaders for; same mechanism as the
+# reference's map (bin/nbdt-wnids:69-128), independently chosen senses.
+DISAMBIGUATION = {
+    "airplane": "airplane.n.01",
+    "automobile": "car.n.01",
+    "crab": "crab.n.01",
+    "maple_tree": "maple.n.02",
+    "oak_tree": "oak.n.02",
+    "palm_tree": "palm.n.03",
+    "pine_tree": "pine.n.01",
+    "willow_tree": "willow.n.01",
+    "ray": "ray.n.07",
+    "seal": "seal.n.09",
+    "shrew": "shrew.n.02",
+    "skunk": "skunk.n.04",
+    "tank": "tank.n.01",
+    "tractor": "tractor.n.01",
+    "train": "train.n.01",
+    "plain": "plain.n.01",
+    "castle": "castle.n.02",
+    "keyboard": "keyboard.n.01",
+    "lawn_mower": "lawn_mower.n.01",
+    "man": "man.n.01",
+    "woman": "woman.n.01",
+    "boy": "male_child.n.01",
+    "girl": "girl.n.01",
+    "baby": "baby.n.01",
+}
+
+
+def class_to_wnid(name: str, offset_fallback: int):
+    from ..hierarchy.wnid import FakeSynset, synset_to_wnid, wordnet_available
+
+    if not wordnet_available():
+        return FakeSynset.create_from_offset(offset_fallback).wnid
+    from nltk.corpus import wordnet as wn
+
+    key = name.strip().lower().replace(" ", "_").replace("-", "_")
+    try:
+        if key in DISAMBIGUATION:
+            synset = wn.synset(DISAMBIGUATION[key])
+        else:
+            synsets = wn.synsets(key, pos="n")
+            if not synsets:
+                return FakeSynset.create_from_offset(offset_fallback).wnid
+            synset = synsets[0]
+        return synset_to_wnid(synset)
+    except Exception:
+        return FakeSynset.create_from_offset(offset_fallback).wnid
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dataset", default="CIFAR10")
+    parser.add_argument("--classes", nargs="*", default=None,
+                        help="explicit class names (else dataset registry)")
+    parser.add_argument("--root", default="./nbdt_tpu/wnids")
+    args = parser.parse_args(argv)
+
+    from ..hierarchy.wnid import maybe_install_wordnet, write_wnids
+    from ..utils import DATASET_TO_CLASSES
+
+    maybe_install_wordnet()
+    classes = args.classes or DATASET_TO_CLASSES.get(args.dataset)
+    assert classes, (
+        f"No class names known for {args.dataset}; pass --classes explicitly."
+    )
+    wnids = [class_to_wnid(c, i) for i, c in enumerate(classes)]
+    failures = [c for c, w in zip(classes, wnids) if w.startswith("f")]
+    path = os.path.join(args.root, f"{args.dataset}.txt")
+    write_wnids(wnids, path)
+    print(f"==> Wrote {len(wnids)} wnids to {path}")
+    if failures:
+        print(f"==> {len(failures)} classes fell back to FakeSynset: {failures}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Label-subset dataset wrappers (reference nbdt/data/custom.py).
+
+Drive the unseen-class / zero-shot experiments: include, exclude, or
+probabilistically resample classes while preserving the original label
+space (``drop_classes=False``) or remapping to a compact one.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+class ResampleLabelsDataset:
+    """Per-class inclusion probability with seeded index remap
+    (reference custom.py:44-118).
+
+    probability_labels: scalar p for all classes, or per-class list. A
+    class with p<1 keeps each sample with probability p (seeded,
+    deterministic).
+    """
+
+    def __init__(self, dataset, probability_labels=1.0, seed: int = 0):
+        self.dataset = dataset
+        self.classes = dataset.classes
+        self.probability_labels = self._normalize(probability_labels, len(self.classes))
+        rng = np.random.RandomState(seed)
+        labels = np.array([dataset[i][1] for i in range(len(dataset))])
+        keep = rng.rand(len(labels)) < np.asarray(self.probability_labels)[labels]
+        self.new_to_old = np.flatnonzero(keep)
+
+    @staticmethod
+    def _normalize(p, num_classes):
+        if isinstance(p, str):
+            p = [float(x) for x in p.split(",")]
+        if isinstance(p, (int, float)):
+            return [float(p)] * num_classes
+        p = list(p)
+        if len(p) == 1:
+            return p * num_classes
+        assert len(p) == num_classes
+        return p
+
+    def __len__(self):
+        return len(self.new_to_old)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.new_to_old[i])]
+
+
+class IncludeLabelsDataset:
+    """Keep only samples whose label is in ``include_labels``; labels are
+    preserved in the original space (reference custom.py:121-161)."""
+
+    def __init__(self, dataset, include_labels: Sequence[int]):
+        self.dataset = dataset
+        self.classes = dataset.classes
+        include = set(int(x) for x in include_labels)
+        labels = np.array([dataset[i][1] for i in range(len(dataset))])
+        self.new_to_old = np.flatnonzero(np.isin(labels, list(include)))
+        self.include_labels = sorted(include)
+
+    def __len__(self):
+        return len(self.new_to_old)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.new_to_old[i])]
+
+
+class ExcludeLabelsDataset(IncludeLabelsDataset):
+    """Complement of IncludeLabels (reference custom.py:164-207)."""
+
+    def __init__(self, dataset, exclude_labels: Sequence[int]):
+        exclude = set(int(x) for x in exclude_labels)
+        include = [
+            i for i in range(len(dataset.classes)) if i not in exclude
+        ]
+        super().__init__(dataset, include)
+
+
+class IncludeClassesDataset(IncludeLabelsDataset):
+    """Include by class name instead of index (reference custom.py:144-158)."""
+
+    def __init__(self, dataset, include_classes: Sequence[str]):
+        include_labels = [dataset.classes.index(c) for c in include_classes]
+        super().__init__(dataset, include_labels)
+
+
+def wrap_dataset(
+    dataset,
+    include_labels: Optional[Sequence[int]] = None,
+    exclude_labels: Optional[Sequence[int]] = None,
+    include_classes: Optional[Sequence[str]] = None,
+    probability_labels=None,
+):
+    """Apply the reference's CLI wrapper semantics (custom.py:37-41 flags)."""
+    if include_labels:
+        dataset = IncludeLabelsDataset(dataset, include_labels)
+    if exclude_labels:
+        dataset = ExcludeLabelsDataset(dataset, exclude_labels)
+    if include_classes:
+        dataset = IncludeClassesDataset(dataset, include_classes)
+    if probability_labels is not None and probability_labels != 1:
+        dataset = ResampleLabelsDataset(dataset, probability_labels)
+    return dataset

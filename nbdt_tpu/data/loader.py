@@ -1,0 +1,79 @@
+"""Batched host->device data loader.
+
+Replaces the reference's torch DataLoader with worker processes
+(main.py:136-141) with a simple vectorized numpy pipeline: shuffle indices,
+gather a uint8 batch, run the batch transform (crop/flip/normalize), and
+hand float32 NHWC arrays to jit. For TPU, static batch shapes matter more
+than worker parallelism — the final partial batch is dropped (train) or
+padded (eval) so every step compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        transform: Optional[Callable] = None,
+        seed: int = 0,
+        drop_last: bool = True,
+        pad_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.transform = transform
+        self.rng = np.random.RandomState(seed)
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+
+        # Materialize into flat arrays once for vectorized gathers.
+        if hasattr(dataset, "images") and hasattr(dataset, "labels"):
+            self.images = dataset.images
+            self.labels = np.asarray(dataset.labels)
+            if hasattr(dataset, "new_to_old"):
+                idx = np.asarray(dataset.new_to_old)
+                self.images = self.images[idx]
+                self.labels = self.labels[idx]
+        else:
+            pairs = [dataset[i] for i in range(len(dataset))]
+            self.images = np.stack([p[0] for p in pairs])
+            self.labels = np.array([p[1] for p in pairs])
+
+    def __len__(self):
+        n = len(self.labels)
+        if self.drop_last and not self.pad_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yields (images, labels, valid_mask) float32/int32/bool batches."""
+        n = len(self.labels)
+        order = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        stop = n - (n % bs) if (self.drop_last and not self.pad_last) else n
+        for start in range(0, stop, bs):
+            idx = order[start : start + bs]
+            valid = np.ones(len(idx), dtype=bool)
+            if len(idx) < bs:
+                if not self.pad_last:
+                    break
+                pad = bs - len(idx)
+                idx = np.concatenate([idx, np.zeros(pad, dtype=idx.dtype)])
+                valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
+            batch = self.images[idx]
+            labels = self.labels[idx].astype(np.int32)
+            if self.transform is not None:
+                batch = self.transform(batch)
+            else:
+                batch = batch.astype(np.float32)
+            yield batch, labels, valid

@@ -1,0 +1,90 @@
+"""Batch-level numpy transforms (TPU-friendly input pipeline).
+
+The reference uses per-sample torchvision transforms (reference
+cifar.py:10-38, imagenet.py:38-65). Here augmentation operates on whole
+uint8 numpy batches on the host — vectorized crop/flip/normalize — and
+ships normalized NHWC float32 to the device. Normalization constants are
+the reference's exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+# Reference cifar.py:12-31
+CIFAR_MEAN = np.array([0.4914, 0.4822, 0.4465], dtype=np.float32)
+CIFAR_STD = np.array([0.2023, 0.1994, 0.2010], dtype=np.float32)
+# Reference imagenet.py:38-65 (TinyImagenet200)
+TINYIMAGENET_MEAN = np.array([0.4802, 0.4481, 0.3975], dtype=np.float32)
+TINYIMAGENET_STD = np.array([0.2302, 0.2265, 0.2262], dtype=np.float32)
+# Reference imagenet.py:152-178 (ImageNet-1000, torchvision standard)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def normalize(batch_u8: np.ndarray, mean: np.ndarray, std: np.ndarray) -> np.ndarray:
+    """uint8 NHWC -> normalized float32 NHWC."""
+    x = batch_u8.astype(np.float32) / 255.0
+    return (x - mean) / std
+
+
+def random_crop(batch: np.ndarray, pad: int, rng: np.random.RandomState) -> np.ndarray:
+    """Pad-and-random-crop, vectorized over the batch (reference
+    RandomCrop(32, padding=4))."""
+    n, h, w, c = batch.shape
+    padded = np.pad(
+        batch, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="constant"
+    )
+    ys = rng.randint(0, 2 * pad + 1, size=n)
+    xs = rng.randint(0, 2 * pad + 1, size=n)
+    out = np.empty_like(batch)
+    for off in range(2 * pad + 1):
+        # group samples sharing a y-offset to slice in bulk
+        sel = ys == off
+        if sel.any():
+            rows = padded[sel, off : off + h]
+            xoff = xs[sel]
+            for xo in np.unique(xoff):
+                sub = xoff == xo
+                idx = np.flatnonzero(sel)[sub]
+                out[idx] = rows[sub][:, :, xo : xo + w]
+    return out
+
+
+def random_hflip(batch: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    flips = rng.rand(batch.shape[0]) < 0.5
+    out = batch.copy()
+    out[flips] = out[flips, :, ::-1]
+    return out
+
+
+class InverseNormalize:
+    """Un-normalize for analyzer image dumps (reference transforms.py:4-15)."""
+
+    def __init__(self, mean, std):
+        self.mean = np.asarray(mean, dtype=np.float32)
+        self.std = np.asarray(std, dtype=np.float32)
+
+    def __call__(self, batch: np.ndarray) -> np.ndarray:
+        return np.asarray(batch) * self.std + self.mean
+
+
+def make_train_transform(mean, std, crop_pad: int = 4, hflip: bool = True, seed: int = 0):
+    rng = np.random.RandomState(seed)
+
+    def transform(batch_u8: np.ndarray) -> np.ndarray:
+        batch = random_crop(batch_u8, crop_pad, rng) if crop_pad else batch_u8
+        if hflip:
+            batch = random_hflip(batch, rng)
+        return normalize(batch, mean, std)
+
+    return transform
+
+
+def make_val_transform(mean, std):
+    def transform(batch_u8: np.ndarray) -> np.ndarray:
+        return normalize(batch_u8, mean, std)
+
+    return transform

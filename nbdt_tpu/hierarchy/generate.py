@@ -1,0 +1,362 @@
+"""Hierarchy generation, validation, and path codecs.
+
+TPU-native rebuild of reference ``nbdt/hierarchy.py:59-196`` and the graph
+filename codecs in ``nbdt/graph.py:194-281``. Class "centers" — the rows of
+the network's final FC layer — may come from a Flax param pytree, a torch
+``.pth`` checkpoint, a raw state dict, or a plain array (reference
+graph.py:467-511 probes ten known FC key names; we reproduce that probe for
+torch-style dicts and add pytree probing for Flax params).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..utils import Colors, get_directory
+from .build import (
+    augment_graph,
+    build_induced_graph,
+    build_minimal_wordnet_graph,
+    build_random_graph,
+    prune_single_successor_nodes,
+)
+from .digraph import Digraph, get_depth, get_leaves, get_roots, read_graph, write_graph
+from .wnid import get_wnids, get_wnids_from_dataset
+
+# Reference graph.py:386-397 — known final-FC weight keys across model zoos.
+MODEL_FC_KEYS = (
+    "fc.weight",
+    "linear.weight",
+    "module.linear.weight",
+    "module.net.linear.weight",
+    "output.weight",
+    "module.output.weight",
+    "output.fc.weight",
+    "module.output.fc.weight",
+    "classifier.weight",
+    "model.last_layer.3.weight",
+)
+
+
+# ---------------------------------------------------------------------------
+# Center extraction
+# ---------------------------------------------------------------------------
+
+
+def get_centers_from_state_dict(state_dict) -> Optional[np.ndarray]:
+    """Probe torch-style flat state dicts for the final FC weight [C, D]."""
+    for key in MODEL_FC_KEYS:
+        if key in state_dict:
+            value = state_dict[key]
+            if hasattr(value, "detach"):  # torch tensor
+                value = value.detach().cpu().numpy()
+            return np.asarray(value).squeeze()
+    return None
+
+
+def get_centers_from_checkpoint(checkpoint: str) -> np.ndarray:
+    """Load FC weights from a torch ``.pth`` checkpoint file."""
+    import torch
+
+    data = torch.load(checkpoint, map_location="cpu", weights_only=False)
+    state_dict = data
+    for key in ("net", "state_dict"):
+        if isinstance(data, dict) and key in data:
+            state_dict = data[key]
+            break
+    fc = get_centers_from_state_dict(state_dict)
+    assert fc is not None, (
+        f"Could not find FC weights in checkpoint {checkpoint} "
+        f"with keys: {list(state_dict)[:20]}"
+    )
+    return fc
+
+
+def get_centers_from_flax_params(params) -> Optional[np.ndarray]:
+    """Probe a Flax param pytree for the classifier kernel.
+
+    Flax linear kernels are stored [D, C]; the centers contract is [C, D]
+    rows-as-class-embeddings, so the kernel is transposed. Looks for a
+    top-level module named ``linear``/``fc``/``classifier``/``head``.
+    """
+    if params is None:
+        return None
+    tree = params.get("params", params) if isinstance(params, dict) else params
+    for name in ("linear", "fc", "classifier", "head", "output"):
+        sub = tree.get(name) if isinstance(tree, dict) else None
+        if isinstance(sub, dict) and "kernel" in sub:
+            return np.asarray(sub["kernel"]).T
+    return None
+
+
+def resolve_centers(
+    centers=None, checkpoint=None, state_dict=None, params=None, model=None
+) -> np.ndarray:
+    """Resolve class centers from whichever source was provided."""
+    if centers is not None:
+        return np.asarray(centers)
+    if state_dict is not None:
+        fc = get_centers_from_state_dict(state_dict)
+        assert fc is not None, f"No FC key found in state dict: {list(state_dict)[:20]}"
+        return fc
+    if checkpoint is not None:
+        return get_centers_from_checkpoint(checkpoint)
+    if params is not None:
+        fc = get_centers_from_flax_params(params)
+        assert fc is not None, "No classifier kernel found in Flax params"
+        return fc
+    if model is not None:  # NBDT-TPU model wrapper or Flax bound module
+        for attr in ("params", "variables"):
+            p = getattr(model, attr, None)
+            fc = get_centers_from_flax_params(p)
+            if fc is not None:
+                return fc
+    raise ValueError(
+        "Need one of `centers`, `checkpoint`, `state_dict`, `params`, `model` "
+        "to induce a hierarchy."
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph filename codecs (reference graph.py:194-281)
+# ---------------------------------------------------------------------------
+
+
+def generate_graph_fname(
+    method,
+    seed=0,
+    branching_factor=2,
+    extra=0,
+    no_prune=False,
+    fname="",
+    path="",
+    multi_path=False,
+    induced_linkage="ward",
+    induced_affinity="euclidean",
+    checkpoint=None,
+    arch=None,
+    **kwargs,
+):
+    if path:
+        return Path(path).stem
+    if fname:
+        return fname
+
+    fname = f"graph-{method}"
+    if method == "random" and seed != 0:
+        fname += f"-seed{seed}"
+    if method == "induced":
+        assert checkpoint or arch, "Induced hierarchy needs either `arch` or `checkpoint`"
+        if induced_linkage != "ward" and induced_linkage is not None:
+            fname += f"-linkage{induced_linkage}"
+        if induced_affinity != "euclidean" and induced_affinity is not None:
+            fname += f"-affinity{induced_affinity}"
+        if checkpoint:
+            checkpoint_stem = Path(checkpoint).stem
+            if checkpoint_stem.startswith("ckpt-") and checkpoint_stem.count("-") >= 2:
+                checkpoint_suffix = "-".join(checkpoint_stem.split("-")[2:])
+                checkpoint_fname = checkpoint_suffix.replace("-induced", "")
+            else:
+                checkpoint_fname = checkpoint_stem
+        else:
+            checkpoint_fname = arch
+        fname += f"-{checkpoint_fname}"
+    if method in ("random", "induced") and branching_factor != 2:
+        fname += f"-branch{branching_factor}"
+    if extra > 0:
+        fname += f"-extra{extra}"
+    if no_prune:
+        fname += "-noprune"
+    if multi_path:
+        fname += "-multi"
+    return fname
+
+
+def get_graph_path_from_args(
+    dataset,
+    method,
+    seed=0,
+    branching_factor=2,
+    extra=0,
+    no_prune=False,
+    fname="",
+    path="",
+    multi_path=False,
+    induced_linkage="ward",
+    induced_affinity="euclidean",
+    checkpoint=None,
+    arch=None,
+    root=None,
+    **kwargs,
+):
+    if path:
+        return path
+    fname = generate_graph_fname(
+        method=method,
+        seed=seed,
+        branching_factor=branching_factor,
+        extra=extra,
+        no_prune=no_prune,
+        fname=fname,
+        multi_path=multi_path,
+        induced_linkage=induced_linkage,
+        induced_affinity=induced_affinity,
+        checkpoint=checkpoint,
+        arch=arch,
+    )
+    directory = get_directory(dataset, root) if root else get_directory(dataset)
+    return os.path.join(directory, f"{fname}.json")
+
+
+# ---------------------------------------------------------------------------
+# Generation driver (reference hierarchy.py:59-127)
+# ---------------------------------------------------------------------------
+
+
+def print_graph_stats(G: Digraph, name: str) -> None:
+    num_children = [len(G.succ(n)) for n in G.nodes]
+    print(
+        "[{}] \t Nodes: {} \t Depth: {} \t Max Children: {}".format(
+            name, len(G.nodes), get_depth(G), max(num_children)
+        )
+    )
+
+
+def assert_all_wnids_in_graph(G: Digraph, wnids) -> None:
+    missing = [wnid for wnid in wnids if wnid.strip() not in G]
+    assert not missing, missing
+
+
+def generate_hierarchy(
+    dataset: str,
+    method: str = "induced",
+    seed: int = 0,
+    branching_factor: int = 2,
+    extra: int = 0,
+    no_prune: bool = False,
+    fname: str = "",
+    path: str = "",
+    single_path: bool = False,
+    induced_linkage: str = "ward",
+    induced_affinity: str = "euclidean",
+    checkpoint: Optional[str] = None,
+    arch: Optional[str] = None,
+    model=None,
+    centers=None,
+    state_dict=None,
+    params=None,
+    wnids: Optional[Sequence[str]] = None,
+    wnids_root: str = "./nbdt_tpu/wnids",
+    hierarchies_root: Optional[str] = None,
+    **kwargs,
+) -> str:
+    """Build, post-process, and write a hierarchy. Returns the JSON path."""
+    if wnids is None:
+        try:
+            wnids = get_wnids_from_dataset(dataset, root=wnids_root)
+        except FileNotFoundError:
+            from ..assets import get_dataset_wnids
+
+            wnids = get_dataset_wnids(dataset)
+
+    if method == "wordnet":
+        G = build_minimal_wordnet_graph(wnids, single_path)
+    elif method == "random":
+        G = build_random_graph(wnids, seed=seed, branching_factor=branching_factor)
+    elif method == "induced":
+        resolved = resolve_centers(
+            centers=centers,
+            checkpoint=checkpoint,
+            state_dict=state_dict,
+            params=params,
+            model=model,
+        )
+        G = build_induced_graph(
+            wnids,
+            resolved,
+            branching_factor=branching_factor,
+            dataset=dataset,
+        )
+    else:
+        raise NotImplementedError(f'Method "{method}" not yet handled.')
+    print_graph_stats(G, "matched")
+    assert_all_wnids_in_graph(G, wnids)
+
+    if not no_prune:
+        G = prune_single_successor_nodes(G)
+        print_graph_stats(G, "pruned")
+        assert_all_wnids_in_graph(G, wnids)
+
+    if extra > 0:
+        G, n_extra, n_imaginary = augment_graph(G, extra, True)
+        print(f"[extra] \t Extras: {n_extra} \t Imaginary: {n_imaginary}")
+        print_graph_stats(G, "extra")
+        assert_all_wnids_in_graph(G, wnids)
+
+    path = get_graph_path_from_args(
+        dataset=dataset,
+        method=method,
+        seed=seed,
+        branching_factor=branching_factor,
+        extra=extra,
+        no_prune=no_prune,
+        fname=fname,
+        path=path,
+        multi_path=single_path,
+        induced_linkage=induced_linkage,
+        induced_affinity=induced_affinity,
+        checkpoint=checkpoint,
+        arch=arch,
+        root=hierarchies_root,
+    )
+    write_graph(G, path)
+    Colors.green("==> Wrote tree to {}".format(path))
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Validation (reference hierarchy.py:135-196)
+# ---------------------------------------------------------------------------
+
+
+def check_hierarchy(G: Digraph, wnids) -> dict:
+    """Validate leaf coverage and rootedness. Returns a report dict."""
+    wnid_set = {w.strip() for w in wnids}
+    leaves = set(get_leaves(G))
+    missing_leaves = wnid_set - leaves
+    missing_nodes = wnid_set - set(G.nodes)
+    num_roots = len(list(get_roots(G)))
+    ok = not missing_leaves and not missing_nodes and num_roots == 1
+    return {
+        "ok": ok,
+        "missing_leaves": sorted(missing_leaves),
+        "missing_nodes": sorted(missing_nodes),
+        "num_roots": num_roots,
+    }
+
+
+def test_hierarchy(
+    dataset: str, path: str, wnids_root: str = "./nbdt_tpu/wnids", wnids=None
+) -> bool:
+    """CLI-facing validation with the reference's printed report."""
+    if wnids is None:
+        wnids = get_wnids_from_dataset(dataset, root=wnids_root)
+    print("==> Reading from {}".format(path))
+    G = read_graph(path)
+    report = check_hierarchy(G, wnids)
+    name = Path(path).stem
+    print(f"[{name}] \t leaves missing: {len(report['missing_leaves'])}")
+    print(f"[{name}] \t nodes missing: {len(report['missing_nodes'])}")
+    if report["num_roots"] == 1:
+        Colors.green("Found just 1 root.")
+    else:
+        Colors.red(f"Found {report['num_roots']} roots. Should be only 1.")
+    if report["ok"]:
+        Colors.green("==> All checks pass!")
+    else:
+        Colors.red("==> Test failed")
+    return report["ok"]

@@ -1,0 +1,314 @@
+"""Tree-supervision losses, TPU-native.
+
+Rebuild of reference ``nbdt/loss.py``. Pure jnp functions first (used inside
+jitted train steps, fully differentiable), thin stateful wrappers second
+(reference class API: construct with a Tree, ``set_epoch`` for weight
+schedules, call on (outputs, targets)).
+
+Exactness notes versus the reference:
+
+* ``SoftTreeSupLoss.forward_tree`` is ``criterion(rules(outputs), targets)``
+  (loss.py:264-266) where criterion is CrossEntropyLoss — i.e. the *raw
+  product-of-probabilities leaf distribution is treated as logits* and
+  re-log-softmaxed. We reproduce that exactly: softmax CE over
+  ``exp(leaf_log_probs)``.
+
+* ``HardTreeSupLoss.forward_tree`` (loss.py:213-257) buckets (node, sample)
+  sub-problems by child count, takes mean-CE per bucket, and scales each
+  bucket by ``bucket_size / (B * |inodes| / 2) * tsw``. Since
+  mean * count == sum, the bucketing is algebraically irrelevant:
+
+      total = tsw * sum_over_valid_pairs(CE_pair) / (B * |inodes| / 2)
+
+  which is what ``hard_tree_sup_loss`` computes in one masked gather over
+  every (sample, node) pair — no Python bucketing, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .rules import (
+    JTreeArrays,
+    get_all_node_outputs,
+    masked_log_softmax,
+    soft_leaf_log_probs,
+    to_device_tree,
+)
+from .tree import Tree
+
+__all__ = names = (
+    "HardTreeSupLoss",
+    "SoftTreeSupLoss",
+    "SoftTreeLoss",
+    "SoftSegTreeSupLoss",
+    "CrossEntropyLoss",
+    "cross_entropy",
+    "soft_tree_sup_loss",
+    "hard_tree_sup_loss",
+    "scheduled_weight",
+)
+
+
+# ---------------------------------------------------------------------------
+# Functional core
+# ---------------------------------------------------------------------------
+
+
+def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax cross-entropy with integer labels (torch
+    nn.CrossEntropyLoss semantics, mean reduction)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[:, None].astype(jnp.int32), axis=1)
+    return nll.mean()
+
+
+def soft_tree_sup_loss(
+    logits: jnp.ndarray, targets: jnp.ndarray, jt: JTreeArrays
+) -> jnp.ndarray:
+    """CE of targets against the soft-rules leaf distribution used as logits
+    (reference loss.py:264-266)."""
+    outs = get_all_node_outputs(logits, jt)
+    leaf_logp = soft_leaf_log_probs(outs.log_probs, jt)
+    class_probs = jnp.exp(leaf_logp)
+    return cross_entropy(class_probs, targets)
+
+
+def hard_tree_sup_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    jt: JTreeArrays,
+    tree_supervision_weight: float = 1.0,
+) -> jnp.ndarray:
+    """All-node masked child-level CE (reference loss.py:213-257 semantics;
+    see module docstring for the algebraic identity)."""
+    B = logits.shape[0]
+    N, K, _ = jt.membership.shape
+    nl = (logits.astype(jnp.float32) @ jt.membership.reshape(N * K, -1).T).reshape(
+        B, N, K
+    )
+    log_probs, _ = masked_log_softmax(nl, jt.child_mask)
+
+    # target_child[n, y_b]: child slot of each sample's class at each node,
+    # -1 where the class is not under the node.
+    tc = jt.target_child[:, targets].T  # [B, N]
+    valid = tc >= 0
+    tc_safe = jnp.clip(tc, 0, K - 1)
+    pair_nll = -jnp.take_along_axis(log_probs, tc_safe[..., None], axis=2)[..., 0]
+    pair_nll = jnp.where(valid, pair_nll, 0.0)
+
+    num_losses = B * N / 2.0
+    return pair_nll.sum() / num_losses * tree_supervision_weight
+
+
+def scheduled_weight(start: float, end: float, progress: float, power: float = 1.0):
+    """Linearly (or power-curved) interpolated weight
+    (reference loss.py:187-189)."""
+    p = progress ** power
+    return (1 - p) * start + p * end
+
+
+# ---------------------------------------------------------------------------
+# Stateful wrappers (reference class API)
+# ---------------------------------------------------------------------------
+
+
+def assert_output_not_nbdt(outputs) -> None:
+    """Guard against feeding NBDT-rule outputs back into an NBDT loss
+    (reference loss.py:153-182).
+
+    >>> import numpy as np
+    >>> x = np.zeros((1, 10), dtype=np.float32)
+    >>> assert_output_not_nbdt(x)  # all good
+    >>> from nbdt_tpu.model import TaggedOutput
+    >>> assert_output_not_nbdt(TaggedOutput(x))  #doctest: +ELLIPSIS
+    Traceback (most recent call last):
+        ...
+    AssertionError: ...
+    """
+    assert getattr(outputs, "_nbdt_output_flag", False) is False, (
+        "Uh oh! Looks like you passed an NBDT model's output to an NBDT "
+        "loss. NBDT losses are designed to take in the *original* model's "
+        "outputs, as input. NBDT models are designed to only be used "
+        "during validation and inference, not during training."
+    )
+
+
+class TreeSupLoss:
+    """Scheduled combination of a base criterion and a tree term
+    (reference loss.py:97-209)."""
+
+    def __init__(
+        self,
+        dataset: Optional[str] = None,
+        criterion: Optional[Callable] = None,
+        path_graph: Optional[str] = None,
+        path_wnids: Optional[str] = None,
+        classes=None,
+        hierarchy: Optional[str] = None,
+        tree: Optional[Tree] = None,
+        tree_supervision_weight: float = 1.0,
+        tree_supervision_weight_end: Optional[float] = None,
+        tree_supervision_weight_power: float = 1.0,
+        xent_weight: float = 1.0,
+        xent_weight_end: Optional[float] = None,
+        xent_weight_power: float = 1.0,
+    ):
+        if tree is None:
+            tree = Tree(dataset, path_graph, path_wnids, classes, hierarchy=hierarchy)
+        self.tree = tree
+        self.jt = to_device_tree(tree.arrays)
+        self.num_classes = len(tree.classes)
+        self.criterion = criterion or cross_entropy
+        self.tree_supervision_weight = tree_supervision_weight
+        self.tree_supervision_weight_end = (
+            tree_supervision_weight_end
+            if tree_supervision_weight_end is not None
+            else tree_supervision_weight
+        )
+        self.tree_supervision_weight_power = tree_supervision_weight_power
+        self.xent_weight = xent_weight
+        self.xent_weight_end = (
+            xent_weight_end if xent_weight_end is not None else xent_weight
+        )
+        self.xent_weight_power = xent_weight_power
+        self.progress = 1.0
+        self.epochs = 0
+
+    def forward_tree(self, outputs, targets):
+        raise NotImplementedError()
+
+    def get_weight(self, start, end, power=1.0):
+        progress = self.progress ** power
+        return (1 - progress) * start + progress * end
+
+    def forward(self, outputs, targets):
+        assert_output_not_nbdt(outputs)
+        outputs = jnp.asarray(outputs)
+        targets = jnp.asarray(targets)
+        loss_xent = self.criterion(outputs, targets)
+        loss_tree = self.forward_tree(outputs, targets)
+        tree_weight = self.get_weight(
+            self.tree_supervision_weight,
+            self.tree_supervision_weight_end,
+            self.tree_supervision_weight_power,
+        )
+        xent_weight = self.get_weight(
+            self.xent_weight, self.xent_weight_end, self.xent_weight_power
+        )
+        return loss_xent * xent_weight + loss_tree * tree_weight
+
+    def __call__(self, outputs, targets):
+        return self.forward(outputs, targets)
+
+    def set_epoch(self, cur: int, total: int) -> None:
+        self.epochs = cur
+        self.progress = cur / total
+
+
+class HardTreeSupLoss(TreeSupLoss):
+    def forward_tree(self, outputs, targets):
+        # Reference quirk preserved: loss.py:253-256 scales each bucket by
+        # tree_supervision_weight *inside* forward_tree, and loss.py:195-203
+        # scales forward_tree's result by the scheduled tree weight again —
+        # so the hard term effectively carries tsw^2 when no schedule is set.
+        assert_output_not_nbdt(outputs)
+        return hard_tree_sup_loss(
+            jnp.asarray(outputs), jnp.asarray(targets), self.jt,
+            tree_supervision_weight=self.tree_supervision_weight,
+        )
+
+
+class SoftTreeSupLoss(TreeSupLoss):
+    def forward_tree(self, outputs, targets):
+        assert_output_not_nbdt(outputs)
+        return soft_tree_sup_loss(jnp.asarray(outputs), jnp.asarray(targets), self.jt)
+
+
+class SoftTreeLoss(SoftTreeSupLoss):
+    """Soft tree loss with a self-updating induced hierarchy
+    (reference loss.py:269-315): plain CE before ``tree_start_epochs``, then
+    the induced tree is regenerated from live model params every
+    ``tree_update_every_epochs`` until ``tree_update_end_epochs``.
+    """
+
+    def __init__(
+        self,
+        *args,
+        arch: Optional[str] = None,
+        checkpoint_path: str = "./",
+        params_fn: Optional[Callable] = None,
+        tree_start_epochs: int = 67,
+        tree_update_every_epochs: int = 10,
+        tree_update_end_epochs: int = 120,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.start_epochs = tree_start_epochs
+        self.update_every_epochs = tree_update_every_epochs
+        self.update_end_epochs = tree_update_end_epochs
+        self.params_fn = params_fn  # callable returning live Flax params
+        self.arch = arch
+        self.checkpoint_path = checkpoint_path
+
+    def forward_tree(self, outputs, targets):
+        if self.epochs < self.start_epochs:
+            return self.criterion(jnp.asarray(outputs), jnp.asarray(targets))
+        return super().forward_tree(outputs, targets)
+
+    def set_epoch(self, cur: int, total: int) -> None:
+        super().set_epoch(cur, total)
+        offset = self.epochs - self.start_epochs
+        if (
+            offset >= 0
+            and offset % self.update_every_epochs == 0
+            and self.epochs < self.update_end_epochs
+            and self.params_fn is not None
+        ):
+            import os
+
+            checkpoint_dir = self.checkpoint_path.replace(".pth", "")
+            path_graph = os.path.join(
+                checkpoint_dir, f"graph-epoch{self.epochs}.json"
+            )
+            self.tree.update_from_model(
+                self.params_fn(), self.arch, self.tree.dataset,
+                path_graph=path_graph,
+            )
+            self.jt = to_device_tree(self.tree.arrays)
+
+
+class SoftSegTreeSupLoss(SoftTreeSupLoss):
+    """Per-pixel soft tree loss for segmentation (reference loss.py:318-327).
+
+    Outputs are NHWC class maps; targets are NHW integer labels.
+    """
+
+    def forward(self, outputs, targets):
+        assert_output_not_nbdt(outputs)
+        outputs = jnp.asarray(outputs)
+        targets = jnp.asarray(targets)
+        flat_out = outputs.reshape(-1, outputs.shape[-1])
+        flat_tgt = targets.reshape(-1)
+        loss = self.criterion(flat_out, flat_tgt)
+        loss += (
+            soft_tree_sup_loss(flat_out, flat_tgt, self.jt)
+            * self.tree_supervision_weight
+        )
+        return loss
+
+
+class CrossEntropyLoss:
+    """Reference alias (loss.py:94) with the same call/epoch protocol."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, outputs, targets):
+        return cross_entropy(jnp.asarray(outputs), jnp.asarray(targets))
+
+    def set_epoch(self, cur: int, total: int) -> None:
+        pass

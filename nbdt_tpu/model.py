@@ -1,0 +1,175 @@
+"""NBDT model wrappers: backbone -> decision rules.
+
+Rebuild of reference ``nbdt/model.py:281-399``. A wrapper composes any
+backbone returning logits with embedded decision rules. The backbone here is
+any callable ``x -> logits`` — typically a jitted Flax apply closing over
+params — so the whole forward (conv stack + rules) stays inside one XLA
+program.
+
+Pretrained loading reproduces the reference contract (model.py:27-57,
+337-341): released torch ``.pth`` checkpoints keyed by (arch, dataset[,
+hierarchy]) are fetched (or read from a local cache), converted to Flax
+params, and loaded into the registered backbone.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .rules import HardEmbeddedDecisionRules, SoftEmbeddedDecisionRules
+from .tree import Tree
+from .utils import coerce_tensor, uncoerce_tensor
+
+# Released reference checkpoints (reference model.py:27-57). Downloads are
+# attempted lazily and fail gracefully offline; a local path may be supplied
+# instead via ``checkpoint_path``.
+model_urls = {
+    ("ResNet18", "CIFAR10"): "https://github.com/alvinwan/neural-backed-decision-trees/releases/download/0.0.1/ckpt-CIFAR10-ResNet18-induced-ResNet18-SoftTreeSupLoss.pth",
+    ("wrn28_10_cifar10", "CIFAR10"): "https://github.com/alvinwan/neural-backed-decision-trees/releases/download/0.0.1/ckpt-CIFAR10-wrn28_10_cifar10-induced-wrn28_10_cifar10-SoftTreeSupLoss.pth",
+    ("wrn28_10_cifar10", "CIFAR10", "wordnet"): "https://github.com/alvinwan/neural-backed-decision-trees/releases/download/0.0.1/ckpt-CIFAR10-wrn28_10_cifar10-wordnet-SoftTreeSupLoss.pth",
+    ("ResNet18", "CIFAR100"): "https://github.com/alvinwan/neural-backed-decision-trees/releases/download/0.0.1/ckpt-CIFAR100-ResNet18-induced-ResNet18-SoftTreeSupLoss.pth",
+    ("wrn28_10_cifar100", "CIFAR100"): "https://github.com/alvinwan/neural-backed-decision-trees/releases/download/0.0.1/ckpt-CIFAR100-wrn28_10_cifar100-induced-wrn28_10_cifar100-SoftTreeSupLoss.pth",
+    ("ResNet18", "TinyImagenet200"): "https://github.com/alvinwan/neural-backed-decision-trees/releases/download/0.0.1/ckpt-TinyImagenet200-ResNet18-induced-ResNet18-SoftTreeSupLoss-tsw10.0.pth",
+    ("wrn28_10", "TinyImagenet200"): "https://github.com/alvinwan/neural-backed-decision-trees/releases/download/0.0.1/ckpt-TinyImagenet200-wrn28_10-induced-wrn28_10-SoftTreeSupLoss-tsw10.0.pth",
+}
+
+
+class TaggedOutput(np.ndarray):
+    """Array tagged as NBDT output to poison accidental reuse in losses
+    (reference model.py:198, 272 sets ``_nbdt_output_flag``)."""
+
+    def __new__(cls, array):
+        obj = np.asarray(array).view(cls)
+        obj._nbdt_output_flag = True
+        return obj
+
+    def __array_finalize__(self, obj):
+        self._nbdt_output_flag = True
+
+
+class NBDT:
+    """Backbone + decision rules (reference model.py:281-361).
+
+    ``model`` is a callable ``x -> logits``. For Flax modules, pass
+    ``model=module`` together with ``params=...`` and the wrapper builds the
+    apply function (eval mode: BatchNorm uses running averages).
+    """
+
+    Rules = HardEmbeddedDecisionRules
+
+    def __init__(
+        self,
+        dataset: Optional[str],
+        model: Callable,
+        arch: Optional[str] = None,
+        path_graph: Optional[str] = None,
+        path_wnids: Optional[str] = None,
+        classes=None,
+        hierarchy: Optional[str] = None,
+        pretrained: bool = False,
+        tree: Optional[Tree] = None,
+        params=None,
+        checkpoint_path: Optional[str] = None,
+        Rules=None,
+    ):
+        if dataset and not hierarchy and not path_graph and tree is None:
+            assert arch, "Must specify `arch` if no `hierarchy` or `path_graph`"
+            hierarchy = f"induced-{arch}"
+        if pretrained and not arch:
+            raise UserWarning(
+                "To load a pretrained NBDT, specify the `arch` (e.g. ResNet18)."
+            )
+
+        if tree is None:
+            tree = Tree(dataset, path_graph, path_wnids, classes, hierarchy=hierarchy)
+        self.tree = tree
+        self.dataset = dataset
+        self.arch = arch
+        self.hierarchy = hierarchy
+        self.rules = (Rules or self.Rules)(tree=tree)
+
+        if pretrained:
+            params = self._load_pretrained_params(
+                model, arch, dataset, hierarchy, checkpoint_path
+            )
+
+        self.params = params
+        self.model = self._as_callable(model, params)
+
+    # -- backbone plumbing ---------------------------------------------------
+
+    @staticmethod
+    def _as_callable(model, params) -> Callable:
+        if callable(model) and params is None:
+            return model
+        # Flax module + params: eval-mode apply.
+        import flax.linen as nn  # noqa: F401
+
+        variables = params if "params" in params else {"params": params}
+
+        def apply_fn(x):
+            return model.apply(variables, x, train=False)
+
+        return apply_fn
+
+    def _load_pretrained_params(self, model, arch, dataset, hierarchy, checkpoint_path):
+        from .models.utils import load_state_dict_from_key
+        from .models.convert import torch_state_dict_to_flax
+
+        keys = [(arch, dataset), (arch, dataset, hierarchy)]
+        state_dict = load_state_dict_from_key(
+            keys, model_urls, pretrained=True, checkpoint_path=checkpoint_path
+        )
+        return torch_state_dict_to_flax(state_dict, arch=arch)
+
+    # -- forward -------------------------------------------------------------
+
+    def forward(self, x):
+        outputs = self.model(jnp.asarray(x))
+        outputs = self.rules(outputs)
+        return TaggedOutput(np.asarray(outputs))
+
+    __call__ = forward
+
+    def forward_with_decisions(self, x):
+        outputs = self.model(jnp.asarray(x))
+        outputs, decisions = self.rules.forward_with_decisions(outputs)
+        return TaggedOutput(np.asarray(outputs)), decisions
+
+
+class HardNBDT(NBDT):
+    Rules = HardEmbeddedDecisionRules
+
+
+class SoftNBDT(NBDT):
+    Rules = SoftEmbeddedDecisionRules
+
+
+class SegNBDT(NBDT):
+    """Per-pixel decision rules for segmentation (reference model.py:376-387).
+
+    Backbone outputs NHWC class maps (TPU-native layout; the reference is
+    NCHW). Pixels flatten into the batch axis, rules run once, unflatten.
+    """
+
+    def forward(self, x):
+        x = jnp.asarray(x)
+        assert x.ndim == 4, "Input must be (N, H, W, C) for segmentation"
+        out = self.model(x)
+        original_shape = out.shape
+        flat = coerce_tensor(out)
+        flat = self.rules(flat)
+        return TaggedOutput(np.asarray(uncoerce_tensor(flat, original_shape)))
+
+    __call__ = forward
+
+
+class HardSegNBDT(SegNBDT):
+    Rules = HardEmbeddedDecisionRules
+
+
+class SoftSegNBDT(SegNBDT):
+    Rules = SoftEmbeddedDecisionRules

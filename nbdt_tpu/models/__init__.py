@@ -1,0 +1,68 @@
+"""Flax backbone registry.
+
+The reference exposes any zoo model by name via ``getattr(models, arch)``
+(reference models/__init__.py:1-12). Here the registry is an explicit dict
+of constructors ``arch -> (num_classes, dtype) -> nn.Module``; the same
+names the reference uses keep CLI/checkpoint compatibility.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from .resnet import (
+    ResNet,
+    ResNet10,
+    ResNet18,
+    ResNet34,
+    ResNet50,
+    ResNet101,
+    ResNet152,
+)
+from .wideresnet import WRN, wrn28_10, wrn28_10_cifar10, wrn28_10_cifar100
+
+MODEL_REGISTRY: Dict[str, Callable] = {
+    "ResNet10": ResNet10,
+    "ResNet18": ResNet18,
+    "ResNet34": ResNet34,
+    "ResNet50": ResNet50,
+    "ResNet101": ResNet101,
+    "ResNet152": ResNet152,
+    "wrn28_10": wrn28_10,
+    "wrn28_10_cifar10": wrn28_10_cifar10,
+    "wrn28_10_cifar100": wrn28_10_cifar100,
+}
+
+
+def get_model_choices():
+    return sorted(MODEL_REGISTRY)
+
+
+def get_model(arch: str, num_classes: int, dtype=jnp.float32):
+    """Construct a backbone module by name."""
+    if arch not in MODEL_REGISTRY:
+        raise KeyError(f"Unknown arch {arch!r}. Choices: {get_model_choices()}")
+    return MODEL_REGISTRY[arch](num_classes=num_classes, dtype=dtype)
+
+
+def init_model(arch: str, num_classes: int, input_shape, seed: int = 0,
+               dtype=jnp.float32):
+    """Construct + initialize a backbone. Returns (module, variables)."""
+    module = get_model(arch, num_classes, dtype=dtype)
+    rng = jax.random.PRNGKey(seed)
+    variables = module.init(rng, jnp.zeros((1,) + tuple(input_shape)), train=False)
+    return module, variables
+
+
+def make_eval_fn(module, variables):
+    """Jitted eval-mode forward: x -> logits."""
+    import functools
+
+    @functools.partial(jax.jit)
+    def forward(x):
+        return module.apply(variables, x, train=False)
+
+    return forward

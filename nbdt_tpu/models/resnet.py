@@ -1,0 +1,184 @@
+"""CIFAR-style ResNet backbones in Flax.
+
+Topology matches reference ``nbdt/models/resnet.py`` (3x3 stem, no maxpool,
+4 stages, global average pool, ``linear`` head) so released checkpoints
+convert 1:1 — the final ``linear`` kernel doubles as the class-embedding
+matrix that hierarchy induction clusters (reference graph.py:415-419), so
+the naming/shape contract is load-bearing.
+
+TPU-native choices: NHWC layout, channel-last BatchNorm, optional bfloat16
+compute with float32 params/statistics (MXU-friendly), no Python-level
+control flow inside apply.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+__all__ = (
+    "ResNet",
+    "ResNet10",
+    "ResNet18",
+    "ResNet34",
+    "ResNet50",
+    "ResNet101",
+    "ResNet152",
+)
+
+
+class BasicBlock(nn.Module):
+    """conv3x3-bn-relu, conv3x3-bn, +shortcut, relu (reference resnet.py:42-74)."""
+
+    planes: int
+    stride: int = 1
+    expansion: int = 1
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = self.conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=1, use_bias=False, name="conv1", dtype=self.dtype,
+        )(x)
+        out = self.norm(name="bn1")(out)
+        out = nn.relu(out)
+        out = self.conv(
+            self.planes, (3, 3), strides=(1, 1), padding=1, use_bias=False,
+            name="conv2", dtype=self.dtype,
+        )(out)
+        out = self.norm(name="bn2")(out)
+
+        shortcut = x
+        if self.stride != 1 or x.shape[-1] != self.expansion * self.planes:
+            shortcut = self.conv(
+                self.expansion * self.planes, (1, 1),
+                strides=(self.stride, self.stride), use_bias=False,
+                name="shortcut_conv", dtype=self.dtype,
+            )(x)
+            shortcut = self.norm(name="shortcut_bn")(shortcut)
+        return nn.relu(out + shortcut)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 with 4x expansion (reference resnet.py:77-112)."""
+
+    planes: int
+    stride: int = 1
+    expansion: int = 4
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = self.conv(
+            self.planes, (1, 1), use_bias=False, name="conv1", dtype=self.dtype
+        )(x)
+        out = self.norm(name="bn1")(out)
+        out = nn.relu(out)
+        out = self.conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride), padding=1,
+            use_bias=False, name="conv2", dtype=self.dtype,
+        )(out)
+        out = self.norm(name="bn2")(out)
+        out = nn.relu(out)
+        out = self.conv(
+            self.expansion * self.planes, (1, 1), use_bias=False, name="conv3",
+            dtype=self.dtype,
+        )(out)
+        out = self.norm(name="bn3")(out)
+
+        shortcut = x
+        if self.stride != 1 or x.shape[-1] != self.expansion * self.planes:
+            shortcut = self.conv(
+                self.expansion * self.planes, (1, 1),
+                strides=(self.stride, self.stride), use_bias=False,
+                name="shortcut_conv", dtype=self.dtype,
+            )(x)
+            shortcut = self.norm(name="shortcut_bn")(shortcut)
+        return nn.relu(out + shortcut)
+
+
+class ResNet(nn.Module):
+    """CIFAR ResNet (reference resnet.py:115-157): features() + linear head."""
+
+    block: Callable
+    num_blocks: Sequence[int]
+    num_classes: int = 10
+    expansion: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, features_only: bool = False):
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,  # torch BatchNorm2d default momentum 0.1
+            epsilon=1e-5,
+            dtype=jnp.float32,
+        )
+        conv = partial(nn.Conv, dtype=self.dtype)
+
+        x = x.astype(self.dtype)
+        out = conv(64, (3, 3), padding=1, use_bias=False, name="conv1")(x)
+        out = norm(name="bn1")(out)
+        out = nn.relu(out)
+
+        in_planes = 64
+        for stage, (planes, blocks, stride) in enumerate(
+            zip((64, 128, 256, 512), self.num_blocks, (1, 2, 2, 2)), start=1
+        ):
+            strides = [stride] + [1] * (blocks - 1)
+            for i, s in enumerate(strides):
+                out = self.block(
+                    planes=planes,
+                    stride=s,
+                    expansion=self.expansion,
+                    conv=conv,
+                    norm=norm,
+                    dtype=self.dtype,
+                    name=f"layer{stage}_{i}",
+                )(out)
+            in_planes = planes * self.expansion
+
+        out = out.mean(axis=(1, 2))  # global average pool
+        out = out.astype(jnp.float32)
+        if features_only:
+            return out
+        out = nn.Dense(self.num_classes, name="linear", dtype=jnp.float32)(out)
+        return out
+
+    def features(self, variables, x, train: bool = False):
+        return self.apply(variables, x, train=train, features_only=True)
+
+
+def ResNet10(num_classes: int = 10, dtype=jnp.float32) -> ResNet:
+    return ResNet(BasicBlock, (1, 1, 1, 1), num_classes, expansion=1, dtype=dtype)
+
+
+def ResNet18(num_classes: int = 10, dtype=jnp.float32) -> ResNet:
+    return ResNet(BasicBlock, (2, 2, 2, 2), num_classes, expansion=1, dtype=dtype)
+
+
+def ResNet34(num_classes: int = 10, dtype=jnp.float32) -> ResNet:
+    return ResNet(BasicBlock, (3, 4, 6, 3), num_classes, expansion=1, dtype=dtype)
+
+
+def ResNet50(num_classes: int = 10, dtype=jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 4, 6, 3), num_classes, expansion=4, dtype=dtype)
+
+
+def ResNet101(num_classes: int = 10, dtype=jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 4, 23, 3), num_classes, expansion=4, dtype=dtype)
+
+
+def ResNet152(num_classes: int = 10, dtype=jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 8, 36, 3), num_classes, expansion=4, dtype=dtype)

@@ -1,0 +1,308 @@
+"""Training loop: jitted SGD steps with tree-supervision losses.
+
+Rebuild of reference ``main.py`` (argparse trainer): SGD momentum 0.9,
+weight decay 5e-4, MultiStepLR at 3/7 and 5/7 of total epochs with gamma
+0.1 (main.py:207-210), batch 512, best-accuracy checkpointing
+(main.py:299-307), dual backbone/NBDT accuracy reporting via analyzers
+(main.py:261-308).
+
+TPU-native structure: the whole step — forward, loss (including the tree
+term), backward, update — is one jitted function; schedule weights enter as
+scalar args so epoch changes don't retrigger compilation; the tree constants
+are closed-over jit constants. Data parallelism = sharding the batch over a
+mesh (see nbdt_tpu.parallel); the same step function runs on 1 chip or many.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .losses import cross_entropy, hard_tree_sup_loss, soft_tree_sup_loss
+from .metrics import TopK
+from .rules import JTreeArrays
+from .utils import Colors, generate_checkpoint_fname
+
+
+@dataclass
+class TrainConfig:
+    dataset: str = "CIFAR10"
+    arch: str = "ResNet18"
+    batch_size: int = 512
+    epochs: int = 200
+    lr: float = 0.1
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    loss: str = "SoftTreeSupLoss"  # CrossEntropyLoss | SoftTreeSupLoss | HardTreeSupLoss | SoftTreeLoss
+    tree_supervision_weight: float = 1.0
+    tree_supervision_weight_end: Optional[float] = None
+    tree_supervision_weight_power: float = 1.0
+    xent_weight: float = 1.0
+    xent_weight_end: Optional[float] = None
+    xent_weight_power: float = 1.0
+    hierarchy: Optional[str] = None
+    path_graph: Optional[str] = None
+    path_wnids: Optional[str] = None
+    checkpoint_dir: str = "./checkpoint"
+    name: str = ""
+    seed: int = 0
+    # SoftTreeLoss schedule (reference loss.py:278-292)
+    tree_start_epochs: int = 67
+    tree_update_every_epochs: int = 10
+    tree_update_end_epochs: int = 120
+
+
+def make_optimizer(config: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """torch SGD(momentum, weight_decay) + MultiStepLR(3/7E, 5/7E, gamma=.1)."""
+    total_steps = config.epochs * max(1, steps_per_epoch)
+    boundaries = {
+        int(total_steps * 3 / 7): 0.1,
+        int(total_steps * 5 / 7): 0.1,
+    }
+    schedule = optax.piecewise_constant_schedule(config.lr, boundaries)
+    return optax.chain(
+        optax.add_decayed_weights(config.weight_decay),
+        optax.trace(decay=config.momentum, nesterov=False),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+def tree_term_fn(loss_name: str, jt: Optional[JTreeArrays], tsw: float) -> Callable:
+    """The tree component of the total loss, by loss name.
+
+    For HardTreeSupLoss the reference's double-tsw quirk is preserved: tsw
+    is applied inside the tree term AND via the scheduled tree weight
+    (see losses.py HardTreeSupLoss note).
+    """
+    if loss_name in ("CrossEntropyLoss", None, ""):
+        return lambda logits, targets: 0.0
+    assert jt is not None, f"{loss_name} requires a tree"
+    if loss_name in ("SoftTreeSupLoss", "SoftTreeLoss"):
+        return lambda logits, targets: soft_tree_sup_loss(logits, targets, jt)
+    if loss_name == "HardTreeSupLoss":
+        return lambda logits, targets: hard_tree_sup_loss(
+            logits, targets, jt, tree_supervision_weight=tsw
+        )
+    raise KeyError(f"Unknown loss {loss_name!r}")
+
+
+def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays],
+                    tsw: float = 1.0):
+    """Build the jitted train step.
+
+    step(params, batch_stats, opt_state, x, y, tree_weight, xent_weight)
+      -> (params, batch_stats, opt_state, metrics-dict)
+    """
+    tree_term = tree_term_fn(loss_name, jt, tsw)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, x, y, tree_weight, xent_weight):
+        def loss_fn(p):
+            logits, mutated = module.apply(
+                {"params": p, "batch_stats": batch_stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            loss_x = cross_entropy(logits, y)
+            loss_t = tree_term(logits, y)
+            total = loss_x * xent_weight + loss_t * tree_weight
+            return total, (logits, mutated["batch_stats"], loss_x, loss_t)
+
+        (total, (logits, new_stats, loss_x, loss_t)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(params)
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        acc = (jnp.argmax(logits, -1) == y).mean()
+        metrics = {
+            "loss": total, "loss_xent": loss_x, "loss_tree": loss_t, "acc": acc,
+        }
+        return new_params, new_stats, new_opt_state, metrics
+
+    return step
+
+
+def make_eval_step(module):
+    @jax.jit
+    def step(params, batch_stats, x):
+        return module.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+
+    return step
+
+
+class Trainer:
+    """End-to-end trainer (reference main.py semantics)."""
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        module,
+        variables,
+        trainloader,
+        testloader,
+        tree=None,
+        analyzer=None,
+        criterion_state=None,
+    ):
+        self.config = config
+        self.module = module
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.trainloader = trainloader
+        self.testloader = testloader
+        self.tree = tree
+        self.analyzer = analyzer
+        self.criterion_state = criterion_state  # e.g. SoftTreeLoss wrapper for refresh
+
+        jt = None
+        if tree is not None and config.loss != "CrossEntropyLoss":
+            from .rules import to_device_tree
+
+            jt = to_device_tree(tree.arrays)
+        self.jt = jt
+
+        self.optimizer = make_optimizer(config, len(trainloader))
+        self.opt_state = self.optimizer.init(self.params)
+        self.train_step = make_train_step(
+            module, self.optimizer, config.loss, jt,
+            tsw=config.tree_supervision_weight,
+        )
+        self.eval_step = make_eval_step(module)
+        self.best_acc = 0.0
+        self.start_epoch = 0
+
+    # -- weight schedules (reference loss.py:184-209) ------------------------
+
+    def _weights(self, epoch: int) -> Tuple[float, float]:
+        c = self.config
+        progress = epoch / c.epochs if c.epochs else 1.0
+
+        def sched(start, end, power):
+            end = end if end is not None else start
+            p = progress ** power
+            return (1 - p) * start + p * end
+
+        tw = sched(
+            c.tree_supervision_weight,
+            c.tree_supervision_weight_end,
+            c.tree_supervision_weight_power,
+        )
+        xw = sched(c.xent_weight, c.xent_weight_end, c.xent_weight_power)
+        if c.loss == "SoftTreeLoss" and epoch < c.tree_start_epochs:
+            tw = 0.0  # plain xent until the tree kicks in (loss.py:297-299)
+        return tw, xw
+
+    # -- epochs --------------------------------------------------------------
+
+    def train_epoch(self, epoch: int) -> dict:
+        tw, xw = self._weights(epoch)
+        if self.criterion_state is not None:
+            self.criterion_state.set_epoch(epoch, self.config.epochs)
+        metric = TopK(1)
+        t0 = time.time()
+        last = {}
+        for x, y, valid in self.trainloader:
+            self.params, self.batch_stats, self.opt_state, m = self.train_step(
+                self.params, self.batch_stats, self.opt_state,
+                jnp.asarray(x), jnp.asarray(y),
+                jnp.float32(tw), jnp.float32(xw),
+            )
+            last = {k: float(v) for k, v in m.items()}
+        last["time"] = time.time() - t0
+        return last
+
+    def evaluate(self, epoch: int = 0, checkpoint: bool = True) -> float:
+        metric = TopK(1)
+        if self.analyzer is not None:
+            self.analyzer.start_test(epoch)
+        for x, y, valid in self.testloader:
+            logits = self.eval_step(self.params, self.batch_stats, jnp.asarray(x))
+            logits_np = np.asarray(logits)[valid]
+            y_np = np.asarray(y)[valid]
+            metric.forward(logits_np, y_np)
+            if self.analyzer is not None:
+                self.analyzer.update_batch(logits_np, y_np, np.asarray(x)[valid])
+        acc = metric.report() * 100.0
+        if self.analyzer is not None:
+            self.analyzer.end_test(epoch)
+        if checkpoint and acc > self.best_acc:
+            self.best_acc = acc
+            self.save(epoch, acc)
+        return acc
+
+    def fit(self, log_every: int = 1) -> float:
+        for epoch in range(self.start_epoch, self.config.epochs):
+            if self.analyzer is not None:
+                self.analyzer.start_epoch(epoch)
+            stats = self.train_epoch(epoch)
+            acc = self.evaluate(epoch)
+            if self.analyzer is not None:
+                self.analyzer.end_epoch(epoch)
+            if epoch % log_every == 0:
+                Colors.cyan(
+                    f"[epoch {epoch}] loss={stats.get('loss', 0):.4f} "
+                    f"train_acc={stats.get('acc', 0) * 100:.2f}% "
+                    f"test_acc={acc:.2f}% best={self.best_acc:.2f}% "
+                    f"({stats.get('time', 0):.1f}s)"
+                )
+        return self.best_acc
+
+    # -- checkpointing (reference main.py:299-307 + utils codec) -------------
+
+    def checkpoint_fname(self) -> str:
+        c = self.config
+        return generate_checkpoint_fname(
+            dataset=c.dataset,
+            arch=c.arch,
+            path_graph=c.path_graph,
+            loss=[c.loss],
+            lr=c.lr,
+            name=c.name,
+            tree_supervision_weight=c.tree_supervision_weight,
+            tree_supervision_weight_end=c.tree_supervision_weight_end,
+            tree_supervision_weight_power=c.tree_supervision_weight_power,
+            xent_weight=c.xent_weight,
+            xent_weight_end=c.xent_weight_end,
+            xent_weight_power=c.xent_weight_power,
+        )
+
+    def save(self, epoch: int, acc: float) -> str:
+        import flax.serialization
+
+        os.makedirs(self.config.checkpoint_dir, exist_ok=True)
+        path = os.path.join(self.config.checkpoint_dir, self.checkpoint_fname())
+        payload = {
+            "params": jax.device_get(self.params),
+            "batch_stats": jax.device_get(self.batch_stats),
+        }
+        with open(path + ".msgpack", "wb") as f:
+            f.write(flax.serialization.to_bytes(payload))
+        with open(path + ".json", "w") as f:
+            json.dump({"acc": acc, "epoch": epoch, "arch": self.config.arch}, f)
+        return path + ".msgpack"
+
+    def load(self, path: str) -> None:
+        import flax.serialization
+
+        with open(path, "rb") as f:
+            payload = flax.serialization.from_bytes(
+                {"params": self.params, "batch_stats": self.batch_stats}, f.read()
+            )
+        self.params = payload["params"]
+        self.batch_stats = payload["batch_stats"]
+        meta_path = path.replace(".msgpack", ".json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.best_acc = meta.get("acc", 0.0)
+            self.start_epoch = meta.get("epoch", 0)

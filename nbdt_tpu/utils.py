@@ -1,0 +1,234 @@
+"""Cross-cutting helpers: dataset registries, path resolution, misc codecs.
+
+TPU-native rebuild of the reference's ``nbdt/utils.py`` (see reference
+utils.py:20-75 for the registry constants and path resolvers, utils.py:268-335
+for the checkpoint filename codec, utils.py:338-347 for the NCHW<->flat
+coercion used by segmentation). This module is host-side only and keeps zero
+JAX dependencies so the hierarchy tooling can run anywhere.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from pathlib import Path
+
+# ---------------------------------------------------------------------------
+# Registries (reference utils.py:20-54)
+# ---------------------------------------------------------------------------
+
+METHODS = ("wordnet", "random", "induced")
+
+DATASETS = (
+    "CIFAR10",
+    "CIFAR100",
+    "TinyImagenet200",
+    "Imagenet1000",
+    "Cityscapes",
+    "PascalContext",
+    "LookIntoPerson",
+    "ADE20K",
+)
+
+DATASET_TO_NUM_CLASSES = {
+    "CIFAR10": 10,
+    "CIFAR100": 100,
+    "TinyImagenet200": 200,
+    "Imagenet1000": 1000,
+    "Cityscapes": 19,
+    "PascalContext": 59,
+    "LookIntoPerson": 20,
+    "ADE20K": 150,
+}
+
+DATASET_TO_CLASSES = {
+    "CIFAR10": [
+        "airplane",
+        "automobile",
+        "bird",
+        "cat",
+        "deer",
+        "dog",
+        "frog",
+        "horse",
+        "ship",
+        "truck",
+    ],
+}
+
+
+def fwd() -> Path:
+    """This package's directory (used for packaged hierarchy/wnid assets)."""
+    return Path(__file__).parent.absolute()
+
+
+def hierarchy_to_path_graph(dataset: str, hierarchy: str) -> str:
+    return os.path.join(fwd(), f"hierarchies/{dataset}/graph-{hierarchy}.json")
+
+
+def dataset_to_default_path_graph(dataset: str) -> str:
+    return hierarchy_to_path_graph(dataset, "induced")
+
+
+def dataset_to_default_path_wnids(dataset: str) -> str:
+    return os.path.join(fwd(), f"wnids/{dataset}.txt")
+
+
+def get_directory(dataset: str, root: str = "./nbdt_tpu/hierarchies") -> str:
+    return os.path.join(root, dataset)
+
+
+def makeparentdirs(path) -> None:
+    os.makedirs(Path(path).parent, exist_ok=True)
+
+
+# ---------------------------------------------------------------------------
+# Terminal colors (reference utils.py:118-139)
+# ---------------------------------------------------------------------------
+
+
+class Colors:
+    RED = "\x1b[31m"
+    GREEN = "\x1b[32m"
+    ENDC = "\033[0m"
+    BOLD = "\033[1m"
+    CYAN = "\x1b[36m"
+
+    @classmethod
+    def red(cls, *args):
+        print(cls.RED + str(args[0]), *args[1:], cls.ENDC)
+
+    @classmethod
+    def green(cls, *args):
+        print(cls.GREEN + str(args[0]), *args[1:], cls.ENDC)
+
+    @classmethod
+    def cyan(cls, *args):
+        print(cls.CYAN + str(args[0]), *args[1:], cls.ENDC)
+
+    @classmethod
+    def bold(cls, *args):
+        print(cls.BOLD + str(args[0]), *args[1:], cls.ENDC)
+
+
+# ---------------------------------------------------------------------------
+# Image loading (reference utils.py:100-110) — gated on PIL availability.
+# ---------------------------------------------------------------------------
+
+
+def load_image_from_path(path):
+    """Load a PIL image from a local path or URL."""
+    from PIL import Image  # soft dependency
+
+    if isinstance(path, str) and path.startswith(("http://", "https://")):
+        from urllib.request import Request, urlopen
+
+        headers = {"User-Agent": "Mozilla/5.0 (compatible; nbdt-tpu)"}
+        request = Request(path, headers=headers)
+        file = io.BytesIO(urlopen(request).read())
+    else:
+        file = path
+    return Image.open(file)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint filename codec (reference utils.py:268-335).
+#
+# The encoding must match the reference byte-for-byte so that eval commands
+# locate checkpoints written by reference-trained runs and vice versa.
+# ---------------------------------------------------------------------------
+
+
+def generate_checkpoint_fname(
+    dataset,
+    arch,
+    path_graph,
+    wnid=None,
+    name="",
+    trainset=None,
+    include_labels=(),
+    exclude_labels=(),
+    include_classes=(),
+    num_samples=0,
+    tree_supervision_weight=1,
+    fine_tune=False,
+    loss="CrossEntropyLoss",
+    lr=0.1,
+    tree_supervision_weight_end=None,
+    tree_supervision_weight_power=1,
+    xent_weight=1,
+    xent_weight_end=None,
+    xent_weight_power=1,
+    tree_start_epochs=None,
+    tree_update_every_epochs=None,
+    tree_update_end_epochs=None,
+    **kwargs,
+):
+    if isinstance(loss, str):
+        loss = (loss,)
+    loss = tuple(loss)
+    fname = "ckpt"
+    fname += "-" + dataset
+    fname += "-" + arch
+    if lr != 0.1:
+        fname += f"-lr{lr}"
+    if name:
+        fname += "-" + name
+    if path_graph and any("TreeSupLoss" in l for l in loss):
+        path = Path(path_graph)
+        fname += "-" + path.stem.replace("graph-", "", 1)
+    if include_labels:
+        labels = ",".join(map(str, include_labels))
+        fname += f"-incl{labels}"
+    if exclude_labels:
+        labels = ",".join(map(str, exclude_labels))
+        fname += f"-excl{labels}"
+    if include_classes:
+        labels = ",".join(map(str, include_classes))
+        fname += f"-incc{labels}"
+    if num_samples != 0 and num_samples is not None:
+        fname += f"-samples{num_samples}"
+    if len(loss) > 1 or loss[0] != "CrossEntropyLoss":
+        fname += f'-{",".join(loss)}'
+        if tree_supervision_weight not in (None, 1):
+            fname += f"-tsw{tree_supervision_weight}"
+        if tree_supervision_weight_end not in (tree_supervision_weight, None):
+            fname += f"-tswe{tree_supervision_weight_end}"
+        if tree_supervision_weight_power not in (None, 1):
+            fname += f"-tswp{tree_supervision_weight_power}"
+        if xent_weight not in (None, 1):
+            fname += f"-xw{xent_weight}"
+        if xent_weight_end not in (xent_weight, None):
+            fname += f"-xwe{xent_weight_end}"
+        if xent_weight_power not in (None, 1):
+            fname += f"-xwp{xent_weight_power}"
+    if any("SoftTreeLoss" in l for l in loss):
+        if tree_start_epochs is not None:
+            fname += f"-tse{tree_start_epochs}"
+        if tree_update_every_epochs is not None:
+            fname += f"-tueve{tree_update_every_epochs}"
+        if tree_update_end_epochs is not None:
+            fname += f"-tuene{tree_update_end_epochs}"
+    return fname
+
+
+# ---------------------------------------------------------------------------
+# Segmentation coercion (reference utils.py:338-347) — NHWC variants.
+#
+# JAX convention is NHWC (TPU-native layout), unlike the reference's NCHW.
+# ``coerce_tensor`` flattens spatial+batch dims into a single batch-like axis
+# so per-pixel decision rules are an ordinary [B*H*W, C] problem.
+# ---------------------------------------------------------------------------
+
+
+def coerce_tensor(x, is_label: bool = False):
+    """[N, H, W, C] -> [N*H*W, C] (or labels [N, H, W] -> [N*H*W, 1])."""
+    if is_label:
+        return x.reshape(-1, 1)
+    return x.reshape(-1, x.shape[-1])
+
+
+def uncoerce_tensor(x, original_shape):
+    """[N*H*W, C] -> [N, H, W, C]."""
+    n, h, w, c = original_shape
+    return x.reshape(n, h, w, c)

@@ -1,0 +1,166 @@
+"""Backbone tests: shapes, converter round-trip, torch numerical parity."""
+
+import numpy as np
+import pytest
+
+
+def test_resnet18_forward_shape():
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model("ResNet18", 10, (32, 32, 3))
+    out = module.apply(variables, jnp.zeros((2, 32, 32, 3)), train=False)
+    assert out.shape == (2, 10)
+
+
+def test_resnet18_train_mode_updates_stats():
+    import jax
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model("ResNet18", 10, (32, 32, 3))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    out, new_state = module.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert out.shape == (4, 10)
+    old = variables["batch_stats"]["bn1"]["mean"]
+    new = new_state["batch_stats"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_wrn_forward_shape():
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model("wrn28_10_cifar10", 10, (32, 32, 3))
+    out = module.apply(variables, jnp.zeros((2, 32, 32, 3)), train=False)
+    assert out.shape == (2, 10)
+    # 64x64 input works too (global pool; reference wideresnet.py:28-40)
+    out = module.apply(variables, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 10)
+
+
+def _torch_resnet18(num_classes=10):
+    """Reference-topology torch ResNet18 (CIFAR stem) for converter parity.
+
+    Written against the published NBDT topology (reference nbdt/models/
+    resnet.py:42-157): BasicBlock(conv3x3-bn x2 + 1x1 shortcut), stages
+    64/128/256/512 with strides 1/2/2/2, global avgpool, `linear` head.
+    """
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class BasicBlock(nn.Module):
+        def __init__(self, in_planes, planes, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(in_planes, planes, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.shortcut = nn.Sequential()
+            if stride != 1 or in_planes != planes:
+                self.shortcut = nn.Sequential(
+                    nn.Conv2d(in_planes, planes, 1, stride, bias=False),
+                    nn.BatchNorm2d(planes),
+                )
+
+        def forward(self, x):
+            out = F.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            out = out + self.shortcut(x)
+            return F.relu(out)
+
+    class TorchResNet18(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 3, 1, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            in_planes = 64
+            for stage, (planes, stride) in enumerate(
+                zip((64, 128, 256, 512), (1, 2, 2, 2)), start=1
+            ):
+                blocks = []
+                for i, s in enumerate([stride, 1]):
+                    blocks.append(BasicBlock(in_planes, planes, s))
+                    in_planes = planes
+                setattr(self, f"layer{stage}", nn.Sequential(*blocks))
+            self.linear = nn.Linear(512, num_classes)
+
+        def forward(self, x):
+            out = F.relu(self.bn1(self.conv1(x)))
+            out = self.layer1(out)
+            out = self.layer2(out)
+            out = self.layer3(out)
+            out = self.layer4(out)
+            out = F.adaptive_avg_pool2d(out, 1).flatten(1)
+            return self.linear(out)
+
+    return TorchResNet18()
+
+
+def test_torch_to_flax_parity():
+    """Converted torch weights produce the same logits in Flax (eval mode)."""
+    torch = pytest.importorskip("torch")
+
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import get_model
+    from nbdt_tpu.models.convert import torch_state_dict_to_flax
+
+    tmodel = _torch_resnet18()
+    tmodel.eval()
+    # randomize BN stats so eval-mode parity actually exercises them
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    state_dict = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = torch_state_dict_to_flax(state_dict, arch="ResNet18")
+
+    module = get_model("ResNet18", 10)
+    x = np.random.RandomState(0).randn(4, 32, 32, 3).astype(np.float32)
+    ours = np.asarray(module.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_flax_to_torch_roundtrip():
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.models.convert import (
+        flax_to_torch_state_dict,
+        torch_state_dict_to_flax,
+    )
+
+    module, variables = init_model("ResNet18", 10, (32, 32, 3))
+    sd = flax_to_torch_state_dict(variables, arch="ResNet18")
+    assert "linear.weight" in sd and sd["linear.weight"].shape == (10, 512)
+    back = torch_state_dict_to_flax(sd, arch="ResNet18")
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["linear"]["kernel"]),
+        back["params"]["linear"]["kernel"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["layer4_1"]["conv2"]["kernel"]),
+        back["params"]["layer4_1"]["conv2"]["kernel"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["layer2_0"]["shortcut_bn"]["var"]),
+        back["batch_stats"]["layer2_0"]["shortcut_bn"]["var"],
+    )
+
+
+def test_centers_from_flax_params():
+    from nbdt_tpu.hierarchy.generate import resolve_centers
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model("ResNet18", 10, (32, 32, 3))
+    centers = resolve_centers(params=variables["params"])
+    assert centers.shape == (10, 512)
