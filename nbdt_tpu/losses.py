@@ -87,9 +87,11 @@ def hard_tree_sup_loss(
     see module docstring for the algebraic identity)."""
     B = logits.shape[0]
     N, K, _ = jt.membership.shape
-    nl = (logits.astype(jnp.float32) @ jt.membership.reshape(N * K, -1).T).reshape(
-        B, N, K
-    )
+    nl = jnp.dot(
+        logits.astype(jnp.float32),
+        jt.membership.reshape(N * K, -1).T,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(B, N, K)
     log_probs, _ = masked_log_softmax(nl, jt.child_mask)
 
     # target_child[n, y_b]: child slot of each sample's class at each node,

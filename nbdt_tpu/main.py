@@ -1,0 +1,227 @@
+"""Trainer CLI (reference main.py): argparse -> data -> model -> tree ->
+loss -> optimizer -> train/test loops with analyzers.
+
+Flag surface mirrors the reference (main.py:28-89 plus the add_arguments
+hooks from data/tree/loss/analysis) so reference training commands work
+unchanged; reflection-based kwarg plumbing (reference utils.py:78-97) is
+replaced by the explicit TrainConfig dataclass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def get_parser() -> argparse.ArgumentParser:
+    from . import analysis, losses
+    from .models import get_model_choices
+    from .utils import DATASETS
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dataset", default="CIFAR10", choices=DATASETS)
+    parser.add_argument("--arch", default="ResNet18", choices=get_model_choices())
+    parser.add_argument("--epochs", "-e", default=200, type=int)
+    parser.add_argument("--batch-size", default=512, type=int)
+    parser.add_argument("--lr", default=0.1, type=float)
+    parser.add_argument("--loss", default="CrossEntropyLoss",
+                        choices=list(losses.names))
+    parser.add_argument("--metric", default="top1")
+    parser.add_argument("--analysis", default=None, choices=[None, *analysis.names])
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--path-resume", default="")
+    parser.add_argument("--eval", action="store_true")
+    parser.add_argument("--pretrained", action="store_true")
+    parser.add_argument("--name", default="")
+    parser.add_argument("--data-root", default="./data")
+    parser.add_argument("--download", action="store_true")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="use a synthetic dataset (offline smoke runs)")
+    parser.add_argument("--dataset-test", default=None)
+    parser.add_argument("--disable-test-eval", action="store_true")
+    parser.add_argument("--checkpoint-dir", default="./checkpoint")
+    # tree (reference tree.py:26-35)
+    parser.add_argument("--hierarchy", default=None)
+    parser.add_argument("--path-graph", default=None)
+    parser.add_argument("--path-wnids", default=None)
+    # loss weights (reference loss.py:27-79)
+    parser.add_argument("--xent-weight", "--xw", type=float, default=1.0)
+    parser.add_argument("--xent-weight-end", "--xwe", type=float, default=None)
+    parser.add_argument("--xent-weight-power", "--xwp", type=float, default=1.0)
+    parser.add_argument("--tree-supervision-weight", "--tsw", type=float, default=1.0)
+    parser.add_argument("--tree-supervision-weight-end", "--tswe", type=float,
+                        default=None)
+    parser.add_argument("--tree-supervision-weight-power", "--tswp", type=float,
+                        default=1.0)
+    parser.add_argument("--tree-start-epochs", "--tse", type=int, default=67)
+    parser.add_argument("--tree-update-every-epochs", "--tueve", type=int, default=10)
+    parser.add_argument("--tree-update-end-epochs", "--tuene", type=int, default=120)
+    # data subsets (reference data/custom.py:37-41)
+    parser.add_argument("--include-labels", nargs="*", type=int, default=())
+    parser.add_argument("--exclude-labels", nargs="*", type=int, default=())
+    parser.add_argument("--include-classes", nargs="*", type=str, default=())
+    parser.add_argument("--probability-labels", default=None)
+    # analysis (reference analysis.py:41-44)
+    parser.add_argument("--superclass-wnids", nargs="*", type=str, default=None)
+    parser.add_argument("--save-k", type=int, default=20)
+    parser.add_argument("--visualize-decision-node-wnid", "--vdnw", default=None)
+    parser.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                        help="force JAX backend (default: environment's)")
+    return parser
+
+
+def build_datasets(args):
+    from .data import SyntheticDataset, get_dataset, wrap_dataset
+    from .utils import DATASET_TO_NUM_CLASSES
+
+    if args.synthetic:
+        n = DATASET_TO_NUM_CLASSES[args.dataset]
+        size = 64 if args.dataset == "TinyImagenet200" else 32
+        trainset = SyntheticDataset(n, size=4 * args.batch_size, image_size=size)
+        testset = SyntheticDataset(n, size=2 * args.batch_size, image_size=size,
+                                   seed=1)
+    else:
+        cls = get_dataset(args.dataset)
+        trainset = cls(root=args.data_root, train=True, download=args.download)
+        test_name = args.dataset_test or args.dataset
+        test_cls = get_dataset(test_name)
+        testset = test_cls(root=args.data_root, train=False, download=args.download)
+    trainset = wrap_dataset(
+        trainset,
+        include_labels=args.include_labels,
+        exclude_labels=args.exclude_labels,
+        include_classes=args.include_classes,
+        probability_labels=args.probability_labels,
+    )
+    return trainset, testset
+
+
+def build_analyzer(args, tree, testset):
+    if args.analysis is None:
+        return None
+    from . import analysis
+
+    cls = getattr(analysis, args.analysis)
+    kwargs = {}
+    if issubclass(cls, analysis.DecisionRules):
+        kwargs["tree"] = tree
+    if args.superclass_wnids is not None and issubclass(cls, analysis.Superclass):
+        kwargs["superclass_wnids"] = args.superclass_wnids
+    if args.visualize_decision_node_wnid and cls is analysis.VisualizeDecisionNode:
+        kwargs["visualize_decision_node_wnid"] = args.visualize_decision_node_wnid
+        kwargs["tree"] = tree
+    if cls is analysis.ConfusionMatrix or cls is analysis.Noop:
+        return cls(classes=testset.classes) if cls is analysis.Noop else cls(
+            testset.classes
+        )
+    return cls(**kwargs)
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+
+    from .utils import maybe_set_platform
+
+    maybe_set_platform(args.platform)
+
+    from .data import DataLoader
+    from .models import init_model
+    from .tree import Tree
+    from .trainer import TrainConfig, Trainer
+    from .utils import Colors, DATASET_TO_NUM_CLASSES, hierarchy_to_path_graph
+
+    trainset, testset = build_datasets(args)
+    num_classes = len(trainset.classes)
+
+    image = 64 if args.dataset == "TinyImagenet200" else 32
+    module, variables = init_model(args.arch, num_classes, (image, image, 3))
+
+    # Resolve tree (reference loss.py:82-91 set_default_values).
+    tree = None
+    if args.loss != "CrossEntropyLoss" or args.analysis:
+        path_graph = args.path_graph
+        if args.hierarchy and not path_graph:
+            path_graph = hierarchy_to_path_graph(args.dataset, args.hierarchy)
+        if path_graph is None:
+            # induce on the fly from the freshly initialized model
+            from .hierarchy.generate import generate_hierarchy
+
+            path_graph = generate_hierarchy(
+                dataset=args.dataset, method="induced", arch=args.arch,
+                params=variables["params"],
+                hierarchies_root=args.checkpoint_dir,
+            )
+        tree = Tree(
+            args.dataset, path_graph=path_graph, path_wnids=args.path_wnids,
+            classes=list(trainset.classes),
+        )
+
+    config = TrainConfig(
+        dataset=args.dataset,
+        arch=args.arch,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        lr=args.lr,
+        loss=args.loss,
+        tree_supervision_weight=args.tree_supervision_weight,
+        tree_supervision_weight_end=args.tree_supervision_weight_end,
+        tree_supervision_weight_power=args.tree_supervision_weight_power,
+        xent_weight=args.xent_weight,
+        xent_weight_end=args.xent_weight_end,
+        xent_weight_power=args.xent_weight_power,
+        hierarchy=args.hierarchy,
+        path_graph=tree.path_graph if tree else None,
+        path_wnids=args.path_wnids,
+        checkpoint_dir=args.checkpoint_dir,
+        name=args.name,
+        tree_start_epochs=args.tree_start_epochs,
+        tree_update_every_epochs=args.tree_update_every_epochs,
+        tree_update_end_epochs=args.tree_update_end_epochs,
+    )
+
+    trainloader = DataLoader(
+        trainset, args.batch_size, shuffle=True,
+        transform=trainset.transform_train() if hasattr(trainset, "transform_train")
+        else None,
+    )
+    testloader = DataLoader(
+        testset, args.batch_size, shuffle=False,
+        transform=testset.transform_val() if hasattr(testset, "transform_val")
+        else None,
+        drop_last=False, pad_last=True,
+    )
+
+    analyzer = build_analyzer(args, tree, testset)
+    trainer = Trainer(
+        config, module, variables, trainloader, testloader, tree=tree,
+        analyzer=analyzer,
+    )
+
+    if args.resume or args.path_resume:
+        import os
+
+        path = args.path_resume or os.path.join(
+            args.checkpoint_dir, trainer.checkpoint_fname() + ".msgpack"
+        )
+        if os.path.exists(path):
+            trainer.load(path)
+            Colors.green(f"==> Resumed from {path} (epoch {trainer.start_epoch})")
+        else:
+            Colors.red(f"==> No checkpoint at {path}; starting fresh")
+
+    if args.eval:
+        if analyzer is not None:
+            analyzer.start_epoch(0)
+        acc = trainer.evaluate(0, checkpoint=False)
+        if analyzer is not None:
+            analyzer.end_epoch(0)
+        Colors.green(f"==> Eval accuracy: {acc:.2f}%")
+        return acc
+
+    best = trainer.fit()
+    Colors.green(f"==> Best accuracy: {best:.2f}%")
+    return best
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,18 @@ from typing import Callable, Dict
 import jax
 import jax.numpy as jnp
 
+from .efficientnet import (
+    EfficientNet,
+    efficientnet_b0,
+    efficientnet_b1,
+    efficientnet_b2,
+    efficientnet_b3,
+    efficientnet_b4,
+    efficientnet_b5,
+    efficientnet_b6,
+    efficientnet_b7,
+    efficientnet_b7b,
+)
 from .resnet import (
     ResNet,
     ResNet10,
@@ -22,6 +34,7 @@ from .resnet import (
     ResNet101,
     ResNet152,
 )
+from .vit import ViT, vit_b16, vit_s16
 from .wideresnet import WRN, wrn28_10, wrn28_10_cifar10, wrn28_10_cifar100
 
 MODEL_REGISTRY: Dict[str, Callable] = {
@@ -34,6 +47,17 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "wrn28_10": wrn28_10,
     "wrn28_10_cifar10": wrn28_10_cifar10,
     "wrn28_10_cifar100": wrn28_10_cifar100,
+    "efficientnet_b0": efficientnet_b0,
+    "efficientnet_b1": efficientnet_b1,
+    "efficientnet_b2": efficientnet_b2,
+    "efficientnet_b3": efficientnet_b3,
+    "efficientnet_b4": efficientnet_b4,
+    "efficientnet_b5": efficientnet_b5,
+    "efficientnet_b6": efficientnet_b6,
+    "efficientnet_b7": efficientnet_b7,
+    "efficientnet_b7b": efficientnet_b7b,
+    "vit_b16": vit_b16,
+    "vit_s16": vit_s16,
 }
 
 

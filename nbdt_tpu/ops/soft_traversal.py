@@ -106,23 +106,29 @@ def prepare_head_constants(
 
 def _head_kernel(feats_ref, w_ref, b_ref, m2t_ref, seg_ref, segt_ref, u_ref,
                  mask_ref, leaf_ref, logits_ref, logp_ref):
+    # HIGHEST matmul precision throughout: the TPU MXU's default truncates
+    # f32 inputs to bf16, which is enough to flip argmax on close node
+    # decisions and break decision-path parity (measured ~1.7e-2 drift).
+    hi = jax.lax.Precision.HIGHEST
     feats = feats_ref[:]
-    x = jnp.dot(feats, w_ref[:], preferred_element_type=jnp.float32)
+    x = jnp.dot(feats, w_ref[:], preferred_element_type=jnp.float32, precision=hi)
     x = x + b_ref[:][None, :]
     logits_ref[:] = x
 
     mask = mask_ref[:]
-    nl = jnp.dot(x, m2t_ref[:], preferred_element_type=jnp.float32)
+    nl = jnp.dot(x, m2t_ref[:], preferred_element_type=jnp.float32, precision=hi)
     nl = jnp.where(mask > 0, nl, NEG)
 
     rowmax = jnp.max(nl, axis=1, keepdims=True)
     e = jnp.exp(nl - rowmax) * mask
-    ssum = jnp.dot(e, seg_ref[:], preferred_element_type=jnp.float32)
+    ssum = jnp.dot(e, seg_ref[:], preferred_element_type=jnp.float32, precision=hi)
     lse = jnp.log(jnp.maximum(ssum, 1e-30)) + rowmax
-    lse_s = jnp.dot(lse, segt_ref[:], preferred_element_type=jnp.float32)
+    lse_s = jnp.dot(lse, segt_ref[:], preferred_element_type=jnp.float32,
+                    precision=hi)
     logp = (nl - lse_s) * mask
     logp_ref[:] = logp
-    leaf_ref[:] = jnp.dot(logp, u_ref[:], preferred_element_type=jnp.float32)
+    leaf_ref[:] = jnp.dot(logp, u_ref[:], preferred_element_type=jnp.float32,
+                          precision=hi)
 
 
 def fused_soft_head(

@@ -81,7 +81,12 @@ def get_node_logits(logits: jnp.ndarray, jt: JTreeArrays) -> jnp.ndarray:
     B = logits.shape[0]
     N, K, C = jt.membership.shape
     m2 = jt.membership.reshape(N * K, C)  # [N*K, C]
-    nl = logits.astype(jnp.float32) @ m2.T  # [B, N*K]
+    # HIGHEST precision: TPU default truncates f32 matmul inputs to bf16,
+    # which perturbs node logits enough to flip argmax on close decisions —
+    # decision-path parity with the reference requires full f32.
+    nl = jnp.dot(
+        logits.astype(jnp.float32), m2.T, precision=jax.lax.Precision.HIGHEST
+    )
     return nl.reshape(B, N, K)
 
 
@@ -138,7 +143,9 @@ def soft_leaf_log_probs(log_probs: jnp.ndarray, jt: JTreeArrays) -> jnp.ndarray:
     N, K, C = jt.under.shape
     safe = jnp.where(jt.child_mask[None], log_probs, 0.0)  # kill -inf pads
     u2 = jt.under.reshape(N * K, C)
-    return safe.reshape(B, N * K) @ u2  # [B, C]
+    return jnp.dot(
+        safe.reshape(B, N * K), u2, precision=jax.lax.Precision.HIGHEST
+    )  # [B, C]
 
 
 def soft_forward(logits: jnp.ndarray, jt: JTreeArrays) -> jnp.ndarray:

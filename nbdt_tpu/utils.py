@@ -57,6 +57,22 @@ DATASET_TO_CLASSES = {
 }
 
 
+def maybe_set_platform(platform: str | None = None) -> None:
+    """Force the JAX backend early (before first use).
+
+    The deployment image presets JAX_PLATFORMS=axon (TPU tunnel) and merges
+    rather than honors env overrides, so CPU runs must set the config flag
+    directly. Call with "cpu"/"tpu", or leave None to honor $NBDT_PLATFORM.
+    """
+    import os as _os
+
+    platform = platform or _os.environ.get("NBDT_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def fwd() -> Path:
     """This package's directory (used for packaged hierarchy/wnid assets)."""
     return Path(__file__).parent.absolute()

@@ -1,0 +1,106 @@
+"""Analyzer plugin tests."""
+
+import numpy as np
+import pytest
+
+
+def test_confusion_matrix():
+    from nbdt_tpu.analysis import ConfusionMatrix
+
+    cm = ConfusionMatrix(["a", "b", "c"])
+    cm.start_epoch(0)
+    cm.start_test(0)
+    outputs = np.array([[0.9, 0.1, 0.0], [0.1, 0.8, 0.1], [0.0, 0.2, 0.8],
+                        [0.7, 0.2, 0.1]])
+    targets = np.array([0, 1, 2, 1])
+    cm.update_batch(outputs, targets)
+    assert cm.m[0, 0] == 1
+    assert cm.m[1, 1] == 1
+    assert cm.m[1, 0] == 1  # target b predicted a
+    recall = cm.recall()
+    np.testing.assert_allclose(recall[1], [0.5, 0.5, 0.0])
+
+
+def test_decision_rules_analyzer(synthetic_tree, rng):
+    from nbdt_tpu.analysis import SoftEmbeddedDecisionRules
+
+    an = SoftEmbeddedDecisionRules(tree=synthetic_tree)
+    an.start_epoch(0)
+    an.start_test(0)
+    x = rng.randn(16, 7).astype(np.float32)
+    y = rng.randint(0, 7, 16)
+    an.update_batch(x, y)
+    assert an.metric.total == 16
+    an.end_test(0)
+    assert 0 <= an.best_accuracy <= 100
+
+
+def test_entropy_analyzer(synthetic_tree, rng, tmp_path):
+    from nbdt_tpu.analysis import Entropy
+
+    an = Entropy(classes=list("abcdefg"),
+                 path=str(tmp_path / "e-{epoch}-{time}/img-{suffix}-{i}-{score:.2e}.jpg"),
+                 save_k=2)
+    an.start_epoch(0)
+    an.start_test(0)
+    x = rng.randn(16, 7).astype(np.float32)
+    images = rng.rand(16, 8, 8, 3).astype(np.float32)
+    an.update_batch(x, np.zeros(16, dtype=int), images)
+    assert an.i == 16
+    assert an.avg > 0
+    an.end_test(0)  # writes jpegs
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "e-*/*.jpg"))) == 4  # 2 max + 2 min
+
+
+def test_top_difference(rng):
+    from nbdt_tpu.analysis import TopDifference
+
+    an = TopDifference(classes=list("abc"))
+    scores = an.score(np.array([[5.0, 0.0, 0.0], [1.0, 1.0, 1.0]]), None, None)
+    assert scores[0] > scores[1]
+
+
+def test_nbdt_entropy_analyzers(synthetic_tree, rng):
+    from nbdt_tpu.analysis import NBDTEntropyBottom, NBDTEntropyMaxMin
+
+    x = rng.randn(4, 7).astype(np.float32)
+    for cls in (NBDTEntropyMaxMin, NBDTEntropyBottom):
+        an = cls(tree=synthetic_tree, classes=synthetic_tree.classes)
+        scores = an.score(x, None, None)
+        assert len(scores) == 4
+        assert all(np.isfinite(scores))
+
+
+def test_superclass_with_fake_mapping(synthetic_tree, rng):
+    """Superclass eval needs WordNet normally; with fake wnids everything
+    maps to -1 and the analyzer degrades to zero coverage, not a crash."""
+    from nbdt_tpu.analysis import Superclass
+
+    an = Superclass(tree=synthetic_tree, superclass_wnids=["n00015388"])
+    an.start_epoch(0)
+    an.start_test(0)
+    x = rng.randn(8, 7).astype(np.float32)
+    y = rng.randint(0, 7, 8)
+    an.update_batch(x, y)
+    assert an.total == 0  # nothing mapped without the corpus
+    an.end_test(0)
+
+
+def test_visualize_hierarchy_inference(synthetic_tree, rng, tmp_path):
+    from nbdt_tpu.analysis import VisualizeHierarchyInference
+
+    an = VisualizeHierarchyInference(
+        tree=synthetic_tree, out_dir=str(tmp_path), limit=2
+    )
+    an.start_epoch(0)
+    an.start_test(0)
+    x = rng.randn(4, 7).astype(np.float32)
+    an.update_batch(x, np.zeros(4, dtype=int))
+    import glob
+
+    files = glob.glob(str(tmp_path / "*.html"))
+    assert len(files) == 2
+    html = open(files[0]).read()
+    assert "CONFIG_TREE_DATA" not in html  # substituted

@@ -1,0 +1,52 @@
+"""EfficientNet / ViT backbone smoke tests (ImageNet + stretch configs)."""
+
+import numpy as np
+import pytest
+
+
+def test_efficientnet_b0_shape():
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model("efficientnet_b0", 10, (64, 64, 3))
+    out = module.apply(variables, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 10)
+    # classifier named 'output' -> center extraction works
+    from nbdt_tpu.hierarchy.generate import resolve_centers
+
+    centers = resolve_centers(params=variables["params"])
+    assert centers.shape[0] == 10
+
+
+def test_vit_s16_shape():
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model("vit_s16", 10, (32, 32, 3))
+    out = module.apply(variables, jnp.zeros((2, 32, 32, 3)), train=False)
+    assert out.shape == (2, 10)
+
+
+def test_vit_nbdt_end_to_end(rng):
+    """ViT backbone through SoftNBDT — the zero-shot stretch path."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+    from nbdt_tpu.model import SoftNBDT
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.tree import Tree
+
+    module, variables = init_model("vit_s16", 10, (32, 32, 3))
+    from nbdt_tpu.hierarchy.generate import resolve_centers
+
+    centers = resolve_centers(params=variables["params"])
+    wnids = [f"f{i:08d}" for i in range(10)]
+    G = build_induced_graph(wnids, centers)
+    tree = Tree.from_graph(G, wnids)
+    model = SoftNBDT(dataset=None, model=module, params=variables, tree=tree)
+    x = rng.randn(2, 32, 32, 3).astype(np.float32)
+    out, decisions = model.forward_with_decisions(x)
+    assert np.asarray(out).shape == (2, 10)
+    assert len(decisions) == 2

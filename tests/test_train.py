@@ -1,0 +1,97 @@
+"""Trainer integration: jitted steps, schedules, checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    """ResNet10 on 16x16 synthetic data over the 7-class synthetic tree."""
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    ds = SyntheticDataset(num_classes=7, size=32, image_size=16)
+    tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train())
+    vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
+                    pad_last=True)
+    return module, variables, tl, vl
+
+
+@pytest.mark.parametrize("loss", ["CrossEntropyLoss", "SoftTreeSupLoss",
+                                  "HardTreeSupLoss"])
+def test_train_step_decreases_loss(tiny_setup, synthetic_tree, loss):
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables, tl, vl = tiny_setup
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=3, loss=loss, lr=0.01, checkpoint_dir="/tmp/ckpt-test")
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    first = tr.train_epoch(0)
+    for _ in range(2):
+        last = tr.train_epoch(1)
+    assert np.isfinite(last["loss"])
+    assert last["loss"] < first["loss"] * 1.5  # moving, not diverging
+
+
+def test_evaluate_and_checkpoint(tiny_setup, synthetic_tree, tmp_path):
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables, tl, vl = tiny_setup
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=1, loss="SoftTreeSupLoss",
+                      checkpoint_dir=str(tmp_path))
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    acc = tr.evaluate(0)  # saves checkpoint (any acc > 0 beats best=0)
+    assert 0 <= acc <= 100
+
+    tr2 = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    import os
+
+    path = os.path.join(str(tmp_path), tr.checkpoint_fname() + ".msgpack")
+    assert os.path.exists(path)
+    tr2.load(path)
+    assert tr2.best_acc == acc
+    # params round-trip exactly
+    a = np.asarray(tr.params["linear"]["kernel"])
+    b = np.asarray(tr2.params["linear"]["kernel"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_soft_tree_loss_schedule(tiny_setup, synthetic_tree):
+    """SoftTreeLoss: tree weight is zero before tree_start_epochs."""
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables, tl, vl = tiny_setup
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=10, loss="SoftTreeLoss", tree_start_epochs=5,
+                      checkpoint_dir="/tmp/ckpt-test")
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    tw_before, _ = tr._weights(0)
+    tw_after, _ = tr._weights(6)
+    assert tw_before == 0.0
+    assert tw_after > 0.0
+
+
+def test_optimizer_schedule():
+    """MultiStepLR at 3/7 and 5/7 with gamma 0.1 (reference main.py:207-210)."""
+    import jax.numpy as jnp
+    import optax
+
+    from nbdt_tpu.trainer import TrainConfig, make_optimizer
+
+    cfg = TrainConfig(epochs=7, lr=0.1)
+    opt = make_optimizer(cfg, steps_per_epoch=1)  # 7 total steps
+    params = {"w": jnp.ones(3)}
+    state = opt.init(params)
+    lrs = []
+    g = {"w": jnp.ones(3)}
+    for step in range(7):
+        updates, state = opt.update(g, state, params)
+        lrs.append(float(-updates["w"][0]))
+    # momentum accumulates; check the decay boundaries via ratios
+    assert lrs[0] == pytest.approx(0.1, rel=1e-2)  # + weight decay 5e-4*w
+    # after step 3 (3/7) lr drops 10x; after step 5 another 10x — detect by
+    # the update magnitude shrinking sharply
+    assert lrs[3] < lrs[2]
+    assert lrs[5] < lrs[4]
