@@ -16,6 +16,13 @@ from .custom import (
 )
 from .imagenet import Imagenet1000, TinyImagenet200
 from .loader import DataLoader
+from .segmentation import (
+    ADE20K,
+    LookIntoPerson,
+    PascalContext,
+    SegDataLoader,
+    SyntheticSegDataset,
+)
 from .transforms import (
     CIFAR_MEAN,
     CIFAR_STD,
@@ -34,6 +41,9 @@ DATASET_REGISTRY = {
     "CIFAR100": CIFAR100,
     "TinyImagenet200": TinyImagenet200,
     "Imagenet1000": Imagenet1000,
+    "PascalContext": PascalContext,
+    "LookIntoPerson": LookIntoPerson,
+    "ADE20K": ADE20K,
 }
 
 

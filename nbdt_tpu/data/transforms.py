@@ -71,20 +71,67 @@ class InverseNormalize:
         return np.asarray(batch) * self.std + self.mean
 
 
+def apply_augment_numpy(
+    batch_u8: np.ndarray,
+    pad: int,
+    ys: np.ndarray,
+    xs: np.ndarray,
+    flips: np.ndarray,
+    mean: np.ndarray,
+    std: np.ndarray,
+) -> np.ndarray:
+    """Reference-semantics pad+crop+flip+normalize with explicit offsets —
+    the numpy twin of the native kernel (nbdt_tpu/native/augment.cpp), used
+    as its fallback and its parity oracle."""
+    n, h, w, c = batch_u8.shape
+    padded = np.pad(batch_u8, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    out = np.empty((n, h, w, c), dtype=np.uint8)
+    for i in range(n):
+        out[i] = padded[i, ys[i] : ys[i] + h, xs[i] : xs[i] + w]
+    fl = flips.astype(bool)
+    out[fl] = out[fl, :, ::-1]
+    return normalize(out, mean, std)
+
+
 def make_train_transform(mean, std, crop_pad: int = 4, hflip: bool = True, seed: int = 0):
+    """Fused train-time augmentation. Uses the native C++ kernel when
+    available (single pass, OpenMP), else the vectorized numpy path; both
+    consume identical RNG draws so results match bit-for-bit."""
+    from .. import native
+
     rng = np.random.RandomState(seed)
+    mean = np.asarray(mean, dtype=np.float32)
+    std = np.asarray(std, dtype=np.float32)
+    use_native = native.available()
 
     def transform(batch_u8: np.ndarray) -> np.ndarray:
-        batch = random_crop(batch_u8, crop_pad, rng) if crop_pad else batch_u8
-        if hflip:
-            batch = random_hflip(batch, rng)
-        return normalize(batch, mean, std)
+        if not crop_pad and not hflip:
+            return normalize(batch_u8, mean, std)
+        if use_native:
+            out = native.augment_batch(batch_u8, crop_pad, mean, std, rng,
+                                       hflip=hflip)
+            if out is not None:
+                return out
+        n = batch_u8.shape[0]
+        ys = rng.randint(0, 2 * crop_pad + 1, size=n).astype(np.int32)
+        xs = rng.randint(0, 2 * crop_pad + 1, size=n).astype(np.int32)
+        flips = (
+            (rng.rand(n) < 0.5).astype(np.uint8)
+            if hflip else np.zeros(n, dtype=np.uint8)
+        )
+        return apply_augment_numpy(batch_u8, crop_pad, ys, xs, flips, mean, std)
 
     return transform
 
 
 def make_val_transform(mean, std):
+    from .. import native
+
+    mean = np.asarray(mean, dtype=np.float32)
+    std = np.asarray(std, dtype=np.float32)
+
     def transform(batch_u8: np.ndarray) -> np.ndarray:
-        return normalize(batch_u8, mean, std)
+        out = native.normalize_batch(batch_u8, mean, std)
+        return out if out is not None else normalize(batch_u8, mean, std)
 
     return transform

@@ -283,11 +283,45 @@ class SoftTreeLoss(SoftTreeSupLoss):
             self.jt = to_device_tree(self.tree.arrays)
 
 
+def masked_cross_entropy(
+    logits: jnp.ndarray, targets: jnp.ndarray, ignore_label: int = -1
+) -> jnp.ndarray:
+    """Mean CE over pixels whose label != ignore_label (torch
+    CrossEntropyLoss(ignore_index=...) semantics). JAX wraps negative
+    gather indices, so void labels must be masked, not clipped away."""
+    valid = targets != ignore_label
+    safe = jnp.where(valid, targets, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def soft_seg_tree_sup_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    jt: JTreeArrays,
+    ignore_label: int = -1,
+) -> jnp.ndarray:
+    """Per-pixel soft tree loss: CE of valid pixels against the soft-rules
+    leaf distribution (reference loss.py:318-327, with explicit void
+    handling — the reference delegates ignores to its seg criterion)."""
+    outs = get_all_node_outputs(logits, jt)
+    leaf_logp = soft_leaf_log_probs(outs.log_probs, jt)
+    class_probs = jnp.exp(leaf_logp)
+    return masked_cross_entropy(class_probs, targets, ignore_label)
+
+
 class SoftSegTreeSupLoss(SoftTreeSupLoss):
     """Per-pixel soft tree loss for segmentation (reference loss.py:318-327).
 
-    Outputs are NHWC class maps; targets are NHW integer labels.
+    Outputs are NHWC class maps; targets are NHW integer labels with
+    ``ignore_label`` marking void pixels (excluded from both terms).
     """
+
+    def __init__(self, *args, ignore_label: int = -1, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.ignore_label = ignore_label
 
     def forward(self, outputs, targets):
         assert_output_not_nbdt(outputs)
@@ -295,9 +329,9 @@ class SoftSegTreeSupLoss(SoftTreeSupLoss):
         targets = jnp.asarray(targets)
         flat_out = outputs.reshape(-1, outputs.shape[-1])
         flat_tgt = targets.reshape(-1)
-        loss = self.criterion(flat_out, flat_tgt)
+        loss = masked_cross_entropy(flat_out, flat_tgt, self.ignore_label)
         loss += (
-            soft_tree_sup_loss(flat_out, flat_tgt, self.jt)
+            soft_seg_tree_sup_loss(flat_out, flat_tgt, self.jt, self.ignore_label)
             * self.tree_supervision_weight
         )
         return loss
