@@ -194,8 +194,25 @@ def main(argv=None):
     analyzer = build_analyzer(args, tree, testset)
     trainer = Trainer(
         config, module, variables, trainloader, testloader, tree=tree,
-        analyzer=analyzer,
+        analyzer=analyzer, show_progress=True,
     )
+
+    if args.loss == "SoftTreeLoss":
+        # Self-updating hierarchy (reference loss.py:269-315): regenerate the
+        # induced tree from the live params on the configured epoch schedule.
+        # The trainer re-jits its step when the tree constants change.
+        from .losses import SoftTreeLoss
+
+        trainer.criterion_state = SoftTreeLoss(
+            tree=tree,
+            arch=args.arch,
+            checkpoint_path=args.checkpoint_dir,
+            params_fn=lambda: trainer.params,
+            tree_start_epochs=args.tree_start_epochs,
+            tree_update_every_epochs=args.tree_update_every_epochs,
+            tree_update_end_epochs=args.tree_update_end_epochs,
+            tree_supervision_weight=args.tree_supervision_weight,
+        )
 
     if args.resume or args.path_resume:
         import os

@@ -153,7 +153,9 @@ class Trainer:
         tree=None,
         analyzer=None,
         criterion_state=None,
+        show_progress: bool = False,
     ):
+        self.show_progress = show_progress
         self.config = config
         self.module = module
         self.params = variables["params"]
@@ -180,6 +182,7 @@ class Trainer:
         self.eval_step = make_eval_step(module)
         self.best_acc = 0.0
         self.start_epoch = 0
+        self._criterion_jt = None  # last tree seen from criterion_state
 
     # -- weight schedules (reference loss.py:184-209) ------------------------
 
@@ -208,16 +211,41 @@ class Trainer:
         tw, xw = self._weights(epoch)
         if self.criterion_state is not None:
             self.criterion_state.set_epoch(epoch, self.config.epochs)
+            # SoftTreeLoss may have regenerated the induced hierarchy from
+            # live params (reference loss.py:303-315). The tree constants are
+            # closed-over jit constants, so the step must be rebuilt (one
+            # recompile per refresh epoch, not per step). The criterion holds
+            # its own device copy of the initial tree, so track the last jt
+            # we saw from it rather than comparing against our own.
+            new_jt = getattr(self.criterion_state, "jt", None)
+            if new_jt is not None:
+                if self._criterion_jt is None:
+                    self._criterion_jt = new_jt  # initial copy of the same tree
+                elif new_jt is not self._criterion_jt:
+                    self._criterion_jt = new_jt
+                    self.jt = new_jt
+                    self.train_step = make_train_step(
+                        self.module, self.optimizer, self.config.loss, new_jt,
+                        tsw=self.config.tree_supervision_weight,
+                    )
         metric = TopK(1)
         t0 = time.time()
         last = {}
-        for x, y, valid in self.trainloader:
+        n_batches = len(self.trainloader)
+        for i, (x, y, valid) in enumerate(self.trainloader):
             self.params, self.batch_stats, self.opt_state, m = self.train_step(
                 self.params, self.batch_stats, self.opt_state,
                 jnp.asarray(x), jnp.asarray(y),
                 jnp.float32(tw), jnp.float32(xw),
             )
             last = {k: float(v) for k, v in m.items()}
+            if self.show_progress:
+                from .utils import progress_bar
+
+                progress_bar(
+                    i, n_batches,
+                    f"Loss: {last['loss']:.3f} | Acc: {last['acc'] * 100:.2f}%",
+                )
         last["time"] = time.time() - t0
         return last
 

@@ -128,6 +128,40 @@ class Colors:
 
 
 # ---------------------------------------------------------------------------
+# In-place terminal progress bar (reference utils.py:187-228 behavior:
+# per-step bar with step time, total time, and a trailing message).
+# ---------------------------------------------------------------------------
+
+_bar_state = {"start": None, "last": None}
+
+
+def progress_bar(current: int, total: int, msg: str = "", width: int = 40):
+    """Render `current/total` as an in-place bar with step/total timing."""
+    import sys
+    import time
+
+    now = time.time()
+    if current == 0 or _bar_state["start"] is None:
+        _bar_state["start"] = now
+    step_time = now - (_bar_state["last"] or now)
+    _bar_state["last"] = now
+    total_time = now - _bar_state["start"]
+
+    filled = int(width * (current + 1) / max(total, 1))
+    bar = "=" * max(filled - 1, 0) + ">" + "." * (width - filled)
+    line = (
+        f" [{bar}]  Step: {step_time * 1e3:.0f}ms | Tot: {total_time:.1f}s"
+        f"{' | ' + msg if msg else ''} {current + 1}/{total} "
+    )
+    end = "\n" if current + 1 >= total else "\r"
+    sys.stdout.write(line + end)
+    sys.stdout.flush()
+    if current + 1 >= total:
+        _bar_state["start"] = None
+        _bar_state["last"] = None
+
+
+# ---------------------------------------------------------------------------
 # Image loading (reference utils.py:100-110) — gated on PIL availability.
 # ---------------------------------------------------------------------------
 

@@ -95,3 +95,41 @@ def test_optimizer_schedule():
     # the update magnitude shrinking sharply
     assert lrs[3] < lrs[2]
     assert lrs[5] < lrs[4]
+
+def test_soft_tree_loss_refreshes_tree_and_step(tiny_setup, tmp_path):
+    """SoftTreeLoss regenerates the induced hierarchy from live params on its
+    epoch schedule (reference loss.py:303-315); the trainer must swap the
+    jitted step's closed-over tree constants when that happens."""
+    from nbdt_tpu.assets import dataset_to_dummy_wnids
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+    from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
+    from nbdt_tpu.losses import SoftTreeLoss
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+    from nbdt_tpu.tree import Tree
+
+    module, variables, tl, vl = tiny_setup
+    wnids = dataset_to_dummy_wnids("CIFAR10")[:7]
+    centers = get_centers_from_flax_params(variables["params"])
+    tree = Tree.from_graph(
+        build_induced_graph(wnids, centers), wnids,
+        classes=[f"c{i}" for i in range(7)],
+    )
+    tree.dataset = "CIFAR10"
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=6, loss="SoftTreeLoss", tree_start_epochs=2,
+                      tree_update_every_epochs=2, tree_update_end_epochs=6,
+                      lr=0.01, checkpoint_dir=str(tmp_path))
+    tr = Trainer(cfg, module, variables, tl, vl, tree=tree)
+    tr.criterion_state = SoftTreeLoss(
+        tree=tree, arch="ResNet10", checkpoint_path=str(tmp_path),
+        params_fn=lambda: tr.params, tree_start_epochs=2,
+        tree_update_every_epochs=2, tree_update_end_epochs=6,
+    )
+    jt_before = tr.jt
+    step_before = tr.train_step
+    tr.train_epoch(0)  # pre-start: no refresh
+    assert tr.jt is jt_before
+    m = tr.train_epoch(2)  # refresh epoch: tree rebuilt, step re-jitted
+    assert tr.jt is not jt_before
+    assert tr.train_step is not step_before
+    assert np.isfinite(m["loss"])
