@@ -85,9 +85,16 @@ def _make_inputs():
 
 
 def bench_jax_fused_only() -> None:
-    """Subprocess entry: measure ONLY the fused-pallas path; print one float."""
-    import jax
+    """Subprocess entry: measure ONLY the fused-pallas paths; print one float.
 
+    Two variants share the same fused traversal head (f32 inside the kernel):
+    f32 feature extractor, and bf16 feature extractor (the serving config —
+    conv compute on the MXU in bf16, the head's node decisions in f32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import get_model
     from nbdt_tpu.ops.soft_traversal import fused_soft_head, prepare_head_constants
 
     module, variables, tree = _flagship_jax()
@@ -106,11 +113,29 @@ def bench_jax_fused_only() -> None:
 
     xs = _make_inputs()
     ips = _measure(forward_fused, variables, xs, "jax fused-pallas-head")
+
+    module_bf16 = get_model("ResNet18", 10, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def forward_fused_bf16(variables, x):
+        feats = module_bf16.apply(variables, x.astype(jnp.bfloat16),
+                                  train=False, features_only=True)
+        leaf, _, _ = fused_soft_head(feats.astype(jnp.float32), hc,
+                                     block_b=256, interpret=not on_tpu)
+        return leaf
+
+    try:
+        ips2 = _measure(forward_fused_bf16, variables, xs,
+                        "jax bf16-backbone+fused-head")
+        ips = max(ips, ips2)
+    except Exception as e:
+        log(f"bf16+fused failed: {type(e).__name__}: {e}")
     print(json.dumps({"fused_ips": ips}))
 
 
 def bench_jax() -> float:
     import jax
+    import jax.numpy as jnp
 
     from nbdt_tpu.rules import soft_forward, to_device_tree
 
@@ -128,7 +153,40 @@ def bench_jax() -> float:
     xs = _make_inputs()
     plain = _measure(forward_jnp, variables, xs, "jax jnp-rules")
 
-    # Fused-pallas probe in a subprocess (tunnel compiles can hang hard).
+    # bf16 backbone + f32 traversal head: the standard TPU serving config.
+    # Conv/matmul compute in bf16 on the MXU (params stay f32); logits are
+    # cast back to f32 before the NBDT rules so node decisions keep full
+    # precision. Typically ~2x the f32 path at negligible accuracy cost.
+    from nbdt_tpu.models import get_model
+
+    module_bf16 = get_model("ResNet18", 10, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def forward_bf16(variables, x):
+        logits = module_bf16.apply(variables, x.astype(jnp.bfloat16),
+                                   train=False)
+        return soft_forward(logits.astype(jnp.float32), jt)
+
+    try:
+        bf16 = _measure(forward_bf16, variables, xs, "jax bf16-backbone")
+    except Exception as e:
+        log(f"bf16 path failed: {type(e).__name__}: {e}")
+        bf16 = None
+
+    candidates = [v for v in (bf16, plain) if v]
+    assert candidates, "no JAX path succeeded"
+    return max(candidates)
+
+
+def probe_fused_subprocess() -> float | None:
+    """Measure the fused-pallas path in a subprocess with a hard timeout.
+
+    MUST run before this process initializes JAX: the axon tunnel serves one
+    client session at a time, so a child probe deadlocks if the parent
+    already holds the device. Pallas compiles through the tunnel can also
+    stall in native RPC (uninterruptible by signals) — hence the subprocess
+    + kill, not an in-process attempt.
+    """
     fused = None
     try:
         proc = subprocess.run(
@@ -144,10 +202,7 @@ def bench_jax() -> float:
         log(f"fused-pallas probe exceeded {FUSED_SUBPROCESS_BUDGET_S}s; skipping")
     except Exception as e:
         log(f"fused-pallas probe failed: {type(e).__name__}: {e}")
-
-    candidates = [v for v in (fused, plain) if v]
-    assert candidates, "no JAX path succeeded"
-    return max(candidates)
+    return fused
 
 
 def bench_torch() -> float:
@@ -239,7 +294,8 @@ def main():
     if "--fused-only" in sys.argv:
         bench_jax_fused_only()
         return
-    ours = bench_jax()
+    fused = probe_fused_subprocess()  # before jax init (single-client tunnel)
+    ours = max(v for v in (fused, bench_jax()) if v)
     baseline = bench_torch()
     result = {
         "metric": "NBDT soft inference images/sec/chip (ResNet18 CIFAR10)",

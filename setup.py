@@ -7,6 +7,8 @@ setup(
         "Neural-Backed Decision Trees, rebuilt TPU-native on JAX/XLA/Pallas"
     ),
     packages=find_packages(exclude=("tests",)),
+    package_data={"nbdt_tpu.native": ["*.cpp"]},
+    include_package_data=True,
     python_requires=">=3.10",
     install_requires=[
         "jax",
