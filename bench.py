@@ -25,6 +25,7 @@ Diagnostics go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -34,7 +35,7 @@ import numpy as np
 BATCH = 512
 ITERS = 32
 TORCH_ITERS = 3
-FUSED_SUBPROCESS_BUDGET_S = 420
+FUSED_SUBPROCESS_BUDGET_S = 240
 
 
 def log(*a):
@@ -187,19 +188,29 @@ def probe_fused_subprocess() -> float | None:
     stall in native RPC (uninterruptible by signals) — hence the subprocess
     + kill, not an in-process attempt.
     """
+    if os.environ.get("NBDT_SKIP_FUSED"):
+        log("fused-pallas probe skipped (NBDT_SKIP_FUSED)")
+        return None
     fused = None
+    err_path = "/tmp/nbdt_fused_probe.log"
     try:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--fused-only"],
-            capture_output=True, text=True, timeout=FUSED_SUBPROCESS_BUDGET_S,
-        )
-        sys.stderr.write(proc.stderr)
-        for line in proc.stdout.splitlines():
+        with open(err_path, "w") as err, open(err_path + ".out", "w") as out:
+            proc = subprocess.Popen(
+                [sys.executable, __file__, "--fused-only"],
+                stdout=out, stderr=err, text=True,
+            )
+            try:
+                proc.wait(timeout=FUSED_SUBPROCESS_BUDGET_S)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+                log(f"fused-pallas probe exceeded {FUSED_SUBPROCESS_BUDGET_S}s; "
+                    f"skipping (partial log: {err_path})")
+        sys.stderr.write(open(err_path).read())
+        for line in open(err_path + ".out").read().splitlines():
             line = line.strip()
             if line.startswith("{"):
                 fused = json.loads(line).get("fused_ips")
-    except subprocess.TimeoutExpired:
-        log(f"fused-pallas probe exceeded {FUSED_SUBPROCESS_BUDGET_S}s; skipping")
     except Exception as e:
         log(f"fused-pallas probe failed: {type(e).__name__}: {e}")
     return fused

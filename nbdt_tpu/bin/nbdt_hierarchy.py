@@ -32,6 +32,33 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--hierarchies-root", default=None)
     parser.add_argument("--vis-out-dir", default="out")
     parser.add_argument("--no-vis", action="store_true")
+    # Visualization customization (reference graph.py --vis-* family).
+    parser.add_argument("--vis-out-fname", default=None)
+    parser.add_argument("--vis-theme", default="regular",
+                        choices=["regular", "dark", "minimal"])
+    parser.add_argument("--vis-zoom", type=float, default=1.0)
+    parser.add_argument("--vis-curved", action="store_true", default=True)
+    parser.add_argument("--vis-straight", dest="vis_curved",
+                        action="store_false",
+                        help="straight links instead of curved")
+    parser.add_argument("--vis-sublabels", action="store_true",
+                        help="show wnid sublabels")
+    parser.add_argument("--vis-fake-sublabels", action="store_true",
+                        help="show generated (f-) wnid sublabels too")
+    parser.add_argument("--vis-no-color-leaves", action="store_true")
+    parser.add_argument("--vis-color-path-to", default=None,
+                        help="highlight the root path to this wnid or label")
+    parser.add_argument("--vis-root", default=None,
+                        help="render only the subtree under this wnid")
+    parser.add_argument("--vis-hide", nargs="*", default=[],
+                        help="wnids whose subtrees are hidden")
+    parser.add_argument("--vis-force-labels-left", nargs="*", default=[])
+    parser.add_argument("--vis-width", type=int, default=0)
+    parser.add_argument("--vis-height", type=int, default=0)
+    parser.add_argument("--vis-margin-top", type=int, default=0)
+    parser.add_argument("--vis-margin-left", type=int, default=0)
+    parser.add_argument("--vis-above-dy", type=int, default=0)
+    parser.add_argument("--vis-below-dy", type=int, default=0)
     return parser
 
 
@@ -78,7 +105,26 @@ def main(argv=None):
     )
     test_hierarchy(args.dataset, path, wnids=wnids)
     if not args.no_vis:
-        generate_hierarchy_vis(args.dataset, path, out_dir=args.vis_out_dir)
+        generate_hierarchy_vis(
+            args.dataset, path, out_dir=args.vis_out_dir,
+            out_fname=args.vis_out_fname,
+            theme=args.vis_theme,
+            zoom=args.vis_zoom,
+            curved=args.vis_curved,
+            sublabels=args.vis_sublabels,
+            fake_sublabels=args.vis_fake_sublabels,
+            color_leaves=not args.vis_no_color_leaves,
+            color_path_to=args.vis_color_path_to,
+            vis_root=args.vis_root,
+            hide=args.vis_hide,
+            force_labels_left=args.vis_force_labels_left,
+            width=args.vis_width,
+            height=args.vis_height,
+            margin_top=args.vis_margin_top,
+            margin_left=args.vis_margin_left,
+            above_dy=args.vis_above_dy,
+            below_dy=args.vis_below_dy,
+        )
 
 
 if __name__ == "__main__":

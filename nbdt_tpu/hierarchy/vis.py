@@ -5,7 +5,10 @@ colors, path-to-leaf highlighting, optional per-leaf images). The template
 here is written from scratch (inline d3-free SVG tree layout in vanilla JS)
 rather than porting the reference's d3.v3 template; the public entry points
 ``generate_hierarchy_vis`` / ``generate_hierarchy_vis_from`` and the
-build_tree dict structure match the reference contract.
+build_tree dict structure match the reference contract, as does the
+``--vis-*`` customization flag family (reference graph.py:32-191):
+theme, zoom, curved/straight links, sublabels, subtree root, hidden nodes,
+path-to-leaf highlighting, label side forcing, margins.
 """
 
 from __future__ import annotations
@@ -13,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 from ..utils import Colors, makeparentdirs
 from .digraph import Digraph, get_root, read_graph
@@ -26,33 +29,68 @@ def build_tree(
     edge_probs: Optional[Dict[str, float]] = None,
     color: str = "#1f77b4",
     highlight_color: str = "#d62728",
+    color_leaves: bool = True,
+    leaf_color: str = "#2ca02c",
+    sublabels: bool = False,
+    fake_sublabels: bool = False,
+    hide: Sequence[str] = (),
+    force_labels_left: Sequence[str] = (),
 ) -> dict:
-    """Recursive d3-style dict: {name, id, children, color[, prob]}
-    (reference hierarchy.py:221-303)."""
+    """Recursive d3-style dict: {name, id, children, color[, prob, sublabel]}
+    (reference hierarchy.py:221-303).
+
+    - ``color_path_to``: highlight every node on the root path of this
+      wnid/label (reference --vis-color-path-to).
+    - ``hide``: wnids whose subtrees are dropped (reference --vis-hide).
+    - ``sublabels``: annotate nodes with their wnid (--vis-sublabels);
+      ``fake_sublabels`` includes generated f-wnids too.
+    - ``force_labels_left``: node names whose labels render on the left
+      (reference --vis-force-labels-left).
+    """
+    hidden = set(hide)
     highlight = set()
-    if color_path_to is not None and color_path_to in G:
-        # walk up from the target to the root
-        cur = color_path_to
+    if color_path_to is not None:
+        # accept a wnid or a label; walk up from the target to the root
+        target = None
+        if color_path_to in G:
+            target = color_path_to
+        else:
+            for w in G.nodes:
+                if G.label(w) == color_path_to:
+                    target = w
+                    break
+        cur = target
         while cur is not None:
             highlight.add(cur)
             preds = G.pred(cur)
             cur = preds[0] if preds else None
 
-    def rec(wnid: str) -> dict:
+    force_left = set(force_labels_left)
+
+    def rec(wnid: str) -> Optional[dict]:
+        if wnid in hidden:
+            return None
         label = G.label(wnid) or wnid
-        node = {
-            "name": label,
-            "id": wnid,
-            "color": highlight_color if wnid in highlight else color,
-        }
+        is_leaf = not G.succ(wnid)
+        node_color = (
+            highlight_color if wnid in highlight
+            else (leaf_color if is_leaf and color_leaves else color)
+        )
+        node = {"name": label, "id": wnid, "color": node_color}
+        if sublabels and (fake_sublabels or not wnid.startswith("f")):
+            node["sublabel"] = wnid
+        if label in force_left or wnid in force_left:
+            node["labelLeft"] = True
         if edge_probs and wnid in edge_probs:
             node["prob"] = round(float(edge_probs[wnid]), 4)
-        children = [rec(child) for child in G.succ(wnid)]
+        children = [c for c in (rec(ch) for ch in G.succ(wnid)) if c]
         if children:
             node["children"] = children
         return node
 
-    return rec(root)
+    out = rec(root)
+    assert out is not None, f"root {root!r} is hidden"
+    return out
 
 
 _TEMPLATE = """<!DOCTYPE html>
@@ -61,13 +99,16 @@ _TEMPLATE = """<!DOCTYPE html>
 <meta charset="utf-8">
 <title>CONFIG_TITLE</title>
 <style>
-  body { font-family: -apple-system, Helvetica, Arial, sans-serif; margin: 0; }
-  header { padding: 12px 20px; background: #fafafa; border-bottom: 1px solid #eee; }
+  body { font-family: -apple-system, Helvetica, Arial, sans-serif; margin: 0;
+         background: var(--bg); color: var(--fg);
+         --bg: CONFIG_BG; --fg: CONFIG_FG; }
+  header { padding: 12px 20px; background: color-mix(in srgb, var(--bg) 92%, var(--fg)); border-bottom: 1px solid color-mix(in srgb, var(--bg) 80%, var(--fg)); }
   svg { display: block; margin: 0 auto; }
-  .link { fill: none; stroke: #ccc; stroke-width: 1.5px; }
-  .node circle { stroke-width: 2px; fill: #fff; cursor: pointer; }
-  .node text { font-size: 12px; }
-  .prob { font-size: 10px; fill: #888; }
+  .link { fill: none; stroke: color-mix(in srgb, var(--bg) 70%, var(--fg)); stroke-width: 1.5px; }
+  .node circle { stroke-width: 2px; fill: var(--bg); cursor: pointer; }
+  .node text { font-size: 12px; fill: var(--fg); }
+  .prob { font-size: 10px; opacity: 0.6; }
+  .sublabel { font-size: 9px; opacity: 0.5; }
 </style>
 </head>
 <body>
@@ -75,7 +116,9 @@ _TEMPLATE = """<!DOCTYPE html>
 <svg id="tree"></svg>
 <script>
 const data = CONFIG_TREE_DATA;
-const NODE_H = 22, NODE_W = 170, MARGIN = 40;
+const OPTS = CONFIG_OPTS;
+const Z = OPTS.zoom || 1;
+const NODE_H = 22 * Z + (OPTS.dy || 0), NODE_W = 170 * Z, MARGIN = (OPTS.margin || 40);
 
 function layout(node, depth, state) {
   node.depth = depth;
@@ -86,7 +129,7 @@ function layout(node, depth, state) {
   } else {
     node.y = state.nextY; state.nextY += NODE_H;
   }
-  node.x = MARGIN + depth * NODE_W;
+  node.x = MARGIN + (OPTS.marginLeft || 0) + depth * NODE_W;
 }
 
 function flatten(node, nodes, links) {
@@ -97,21 +140,25 @@ function flatten(node, nodes, links) {
   }
 }
 
-const state = {nextY: MARGIN};
+const state = {nextY: MARGIN + (OPTS.marginTop || 0)};
 layout(data, 0, state);
 const nodes = [], links = [];
 flatten(data, nodes, links);
 const svg = document.getElementById('tree');
-const width = Math.max(...nodes.map(n => n.x)) + NODE_W + MARGIN;
-const height = state.nextY + MARGIN;
+const width = OPTS.width || (Math.max(...nodes.map(n => n.x)) + NODE_W + MARGIN);
+const height = OPTS.height || (state.nextY + MARGIN);
 svg.setAttribute('width', width);
 svg.setAttribute('height', height);
 const NS = 'http://www.w3.org/2000/svg';
 
 for (const [a, b] of links) {
   const p = document.createElementNS(NS, 'path');
-  const mx = (a.x + b.x) / 2;
-  p.setAttribute('d', `M${a.x},${a.y} C${mx},${a.y} ${mx},${b.y} ${b.x},${b.y}`);
+  if (OPTS.curved === false) {
+    p.setAttribute('d', `M${a.x},${a.y} L${b.x},${b.y}`);
+  } else {
+    const mx = (a.x + b.x) / 2;
+    p.setAttribute('d', `M${a.x},${a.y} C${mx},${a.y} ${mx},${b.y} ${b.x},${b.y}`);
+  }
   p.setAttribute('class', 'link');
   svg.appendChild(p);
 }
@@ -120,20 +167,32 @@ for (const n of nodes) {
   g.setAttribute('class', 'node');
   g.setAttribute('transform', `translate(${n.x},${n.y})`);
   const c = document.createElementNS(NS, 'circle');
-  c.setAttribute('r', 5);
+  c.setAttribute('r', 5 * Z);
   c.setAttribute('stroke', n.color || '#1f77b4');
   g.appendChild(c);
+  const left = n.labelLeft || !!n.children;
   const t = document.createElementNS(NS, 'text');
-  t.setAttribute('dx', n.children ? -9 : 9);
+  t.setAttribute('dx', left ? -9 : 9);
   t.setAttribute('dy', 4);
-  t.setAttribute('text-anchor', n.children ? 'end' : 'start');
+  t.setAttribute('text-anchor', left ? 'end' : 'start');
   t.textContent = n.name;
   g.appendChild(t);
+  let dy = 16;
+  if (n.sublabel !== undefined) {
+    const s = document.createElementNS(NS, 'text');
+    s.setAttribute('dx', left ? -9 : 9);
+    s.setAttribute('dy', dy);
+    s.setAttribute('text-anchor', left ? 'end' : 'start');
+    s.setAttribute('class', 'sublabel');
+    s.textContent = n.sublabel;
+    g.appendChild(s);
+    dy += 11;
+  }
   if (n.prob !== undefined) {
     const pr = document.createElementNS(NS, 'text');
-    pr.setAttribute('dx', n.children ? -9 : 9);
-    pr.setAttribute('dy', 16);
-    pr.setAttribute('text-anchor', n.children ? 'end' : 'start');
+    pr.setAttribute('dx', left ? -9 : 9);
+    pr.setAttribute('dy', dy);
+    pr.setAttribute('text-anchor', left ? 'end' : 'start');
     pr.setAttribute('class', 'prob');
     pr.textContent = (n.prob * 100).toFixed(2) + '%';
     g.appendChild(pr);
@@ -145,11 +204,44 @@ for (const n of nodes) {
 </html>
 """
 
+_THEMES = {
+    "regular": ("#ffffff", "#111111"),
+    "dark": ("#111111", "#eeeeee"),
+    "minimal": ("#fafafa", "#333333"),
+}
 
-def generate_vis(tree_data: dict, path_html: str, title: str = "hierarchy") -> str:
+
+def generate_vis(
+    tree_data: dict,
+    path_html: str,
+    title: str = "hierarchy",
+    theme: str = "regular",
+    zoom: float = 1.0,
+    curved: bool = True,
+    width: int = 0,
+    height: int = 0,
+    margin_top: int = 0,
+    margin_left: int = 0,
+    above_dy: int = 0,
+    below_dy: int = 0,
+) -> str:
     """Template substitution (reference hierarchy.py:344-411 mechanism)."""
-    html = _TEMPLATE.replace("CONFIG_TITLE", title).replace(
-        "CONFIG_TREE_DATA", json.dumps(tree_data)
+    bg, fg = _THEMES.get(theme, _THEMES["regular"])
+    opts = {
+        "zoom": zoom,
+        "curved": curved,
+        "width": width or None,
+        "height": height or None,
+        "marginTop": margin_top,
+        "marginLeft": margin_left,
+        "dy": above_dy + below_dy,
+    }
+    html = (
+        _TEMPLATE.replace("CONFIG_TITLE", title)
+        .replace("CONFIG_TREE_DATA", json.dumps(tree_data))
+        .replace("CONFIG_OPTS", json.dumps(opts))
+        .replace("CONFIG_BG", bg)
+        .replace("CONFIG_FG", fg)
     )
     makeparentdirs(path_html)
     with open(path_html, "w") as f:
@@ -164,15 +256,28 @@ def generate_hierarchy_vis_from(
     path_html: str = "out/hierarchy.html",
     color_path_to: Optional[str] = None,
     edge_probs: Optional[Dict[str, float]] = None,
-    **kwargs,
+    vis_root: Optional[str] = None,
+    hide: Sequence[str] = (),
+    sublabels: bool = False,
+    fake_sublabels: bool = False,
+    color_leaves: bool = True,
+    force_labels_left: Sequence[str] = (),
+    **vis_kwargs,
 ) -> str:
     """Programmatic entry point (reference hierarchy.py:513-604)."""
-    root = get_root(G)
+    root = vis_root or get_root(G)
     tree_data = build_tree(
-        G, root, color_path_to=color_path_to, edge_probs=edge_probs
+        G, root,
+        color_path_to=color_path_to,
+        edge_probs=edge_probs,
+        color_leaves=color_leaves,
+        sublabels=sublabels,
+        fake_sublabels=fake_sublabels,
+        hide=hide,
+        force_labels_left=force_labels_left,
     )
     title = f"{dataset or 'hierarchy'}"
-    return generate_vis(tree_data, path_html, title=title)
+    return generate_vis(tree_data, path_html, title=title, **vis_kwargs)
 
 
 def generate_hierarchy_vis(
@@ -180,10 +285,11 @@ def generate_hierarchy_vis(
     path_graph: str,
     out_dir: str = "out",
     suffix: str = "",
+    out_fname: Optional[str] = None,
     **kwargs,
 ) -> str:
     """CLI entry point (reference hierarchy.py:493-510)."""
     G = read_graph(path_graph)
-    name = Path(path_graph).stem
-    path_html = os.path.join(out_dir, f"{name}{suffix}.html")
+    name = out_fname or f"{Path(path_graph).stem}{suffix}"
+    path_html = os.path.join(out_dir, f"{name}.html")
     return generate_hierarchy_vis_from(G, dataset=dataset, path_html=path_html, **kwargs)

@@ -142,3 +142,41 @@ def test_induced_reproduces_reference_shape(reference_available, rng):
         "/root/reference/nbdt/hierarchies/CIFAR10/graph-induced-ResNet18.json"
     )
     assert len(list(get_leaves(ref))) == 10
+
+
+def test_vis_options(tmp_path, synthetic_tree):
+    """HTML vis honors theme/zoom/sublabels/hide/path-highlight options
+    (reference --vis-* flag family, graph.py:32-191)."""
+    from nbdt_tpu.hierarchy.vis import build_tree, generate_hierarchy_vis_from
+
+    G = synthetic_tree.G
+    leaf = synthetic_tree.wnids_leaves[0]
+    path_html = str(tmp_path / "vis.html")
+    out = generate_hierarchy_vis_from(
+        G, dataset="Synthetic", path_html=path_html,
+        color_path_to=leaf, sublabels=True, fake_sublabels=True,
+        theme="dark", zoom=1.5, curved=False,
+    )
+    html = open(out).read()
+    assert "#111111" in html          # dark theme background
+    assert '"zoom": 1.5' in html
+    assert '"curved": false' in html
+    assert leaf in html               # sublabel of the highlighted leaf
+
+    # path highlighting marks root -> leaf red
+    root = [w for w in G.nodes if not G.pred(w)][0]
+    data = build_tree(G, root, color_path_to=leaf)
+    def collect(node, acc):
+        acc.append(node)
+        for ch in node.get("children", []):
+            collect(ch, acc)
+        return acc
+    nodes = collect(data, [])
+    reds = {n["id"] for n in nodes if n["color"] == "#d62728"}
+    assert leaf in reds and data["id"] in reds
+
+    # hiding a subtree removes it
+    inner = [w for w in G.nodes if G.succ(w) and G.pred(w)][0]
+    data2 = build_tree(G, root, hide=[inner])
+    ids = {n["id"] for n in collect(data2, [])}
+    assert inner not in ids

@@ -164,3 +164,120 @@ def test_centers_from_flax_params():
     module, variables = init_model("ResNet18", 10, (32, 32, 3))
     centers = resolve_centers(params=variables["params"])
     assert centers.shape == (10, 512)
+
+
+def _torch_wrn28_10(num_classes=10):
+    """pytorchcv-CIFARWRN-topology torch WRN-28-10 with pytorchcv key names,
+    for converter + topology parity (reference wideresnet.py re-exports
+    pytorchcv's model; graph.py:392 probes its 'output.weight' head)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class PreConvBlock(nn.Module):  # bn -> relu -> conv3x3
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.bn = nn.BatchNorm2d(cin)
+            self.conv = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+
+        def forward(self, x):
+            pre = F.relu(self.bn(x))
+            return self.conv(pre), pre
+
+    class Body(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.conv1 = PreConvBlock(cin, cout, stride)
+            self.conv2 = PreConvBlock(cout, cout, 1)
+
+        def forward(self, x):
+            out, pre = self.conv1(x)
+            out, _ = self.conv2(out)
+            return out, pre
+
+    class Unit(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.resize = stride != 1 or cin != cout
+            self.body = Body(cin, cout, stride)
+            if self.resize:
+                self.identity_conv = nn.Conv2d(cin, cout, 1, stride, bias=False)
+
+        def forward(self, x):
+            out, pre = self.body(x)
+            identity = self.identity_conv(pre) if self.resize else x
+            return out + identity
+
+    class PostActiv(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.bn = nn.BatchNorm2d(c)
+
+        def forward(self, x):
+            return F.relu(self.bn(x))
+
+    class Features(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.init_block = nn.Conv2d(3, 16, 3, 1, 1, bias=False)
+            cin = 16
+            for stage, (w, stride) in enumerate(
+                zip((160, 320, 640), (1, 2, 2)), start=1
+            ):
+                units = nn.Sequential()
+                for u in range(4):
+                    units.add_module(
+                        f"unit{u + 1}", Unit(cin, w, stride if u == 0 else 1)
+                    )
+                    cin = w
+                self.add_module(f"stage{stage}", units)
+            self.post_activ = PostActiv(640)
+
+        def forward(self, x):
+            x = self.init_block(x)
+            x = self.stage1(x)
+            x = self.stage2(x)
+            x = self.stage3(x)
+            return self.post_activ(x)
+
+    class TorchWRN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = Features()
+            self.output = nn.Linear(640, num_classes)
+
+        def forward(self, x):
+            x = self.features(x)
+            x = F.adaptive_avg_pool2d(x, 1).flatten(1)
+            return self.output(x)
+
+    return TorchWRN()
+
+
+def test_wrn_torch_to_flax_parity():
+    """Converted pytorchcv-style WRN weights produce the same logits in Flax
+    — validates both the WRN topology and the _wrn_key_to_path mapping."""
+    torch = pytest.importorskip("torch")
+
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import get_model
+    from nbdt_tpu.models.convert import torch_state_dict_to_flax
+
+    tmodel = _torch_wrn28_10()
+    tmodel.eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    state_dict = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = torch_state_dict_to_flax(state_dict, arch="wrn28_10_cifar10")
+
+    module = get_model("wrn28_10_cifar10", 10)
+    x = np.random.RandomState(1).randn(2, 32, 32, 3).astype(np.float32)
+    ours = np.asarray(module.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)
