@@ -55,6 +55,7 @@ class TrainConfig:
     checkpoint_dir: str = "./checkpoint"
     name: str = ""
     seed: int = 0
+    remat: bool = False  # jax.checkpoint the forward (trade FLOPs for HBM)
     # SoftTreeLoss schedule (reference loss.py:278-292)
     tree_start_epochs: int = 67
     tree_update_every_epochs: int = 10
@@ -96,21 +97,42 @@ def tree_term_fn(loss_name: str, jt: Optional[JTreeArrays], tsw: float) -> Calla
 
 
 def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays],
-                    tsw: float = 1.0):
+                    tsw: float = 1.0, remat: bool = False):
     """Build the jitted train step.
 
     step(params, batch_stats, opt_state, x, y, tree_weight, xent_weight)
       -> (params, batch_stats, opt_state, metrics-dict)
+
+    params/batch_stats/opt_state buffers are donated — they are consumed and
+    rewritten every step, so XLA updates them in place (halves peak HBM for
+    the optimizer state). ``remat=True`` wraps the forward in
+    ``jax.checkpoint``: activations are recomputed during backward instead of
+    stored — the standard FLOPs-for-HBM trade for big backbones
+    (EfficientNet-B7 @ 224) or large per-chip batches.
     """
     tree_term = tree_term_fn(loss_name, jt, tsw)
 
-    @jax.jit
+    apply_fn = module.apply
+    if remat:
+        apply_fn = jax.checkpoint(
+            lambda variables, x: module.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            ),
+            static_argnums=(),
+        )
+
+    def forward(p, batch_stats, x):
+        if remat:
+            return apply_fn({"params": p, "batch_stats": batch_stats}, x)
+        return module.apply(
+            {"params": p, "batch_stats": batch_stats},
+            x, train=True, mutable=["batch_stats"],
+        )
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, x, y, tree_weight, xent_weight):
         def loss_fn(p):
-            logits, mutated = module.apply(
-                {"params": p, "batch_stats": batch_stats},
-                x, train=True, mutable=["batch_stats"],
-            )
+            logits, mutated = forward(p, batch_stats, x)
             loss_x = cross_entropy(logits, y)
             loss_t = tree_term(logits, y)
             total = loss_x * xent_weight + loss_t * tree_weight
@@ -158,8 +180,13 @@ class Trainer:
         self.show_progress = show_progress
         self.config = config
         self.module = module
-        self.params = variables["params"]
-        self.batch_stats = variables.get("batch_stats", {})
+        # Private copies: the train step donates these buffers (in-place
+        # update), which would delete the caller's arrays out from under it.
+        copy = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.array(a, copy=True), t
+        )
+        self.params = copy(variables["params"])
+        self.batch_stats = copy(variables.get("batch_stats", {}))
         self.trainloader = trainloader
         self.testloader = testloader
         self.tree = tree
@@ -177,7 +204,7 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
         self.train_step = make_train_step(
             module, self.optimizer, config.loss, jt,
-            tsw=config.tree_supervision_weight,
+            tsw=config.tree_supervision_weight, remat=config.remat,
         )
         self.eval_step = make_eval_step(module)
         self.best_acc = 0.0
@@ -227,6 +254,7 @@ class Trainer:
                     self.train_step = make_train_step(
                         self.module, self.optimizer, self.config.loss, new_jt,
                         tsw=self.config.tree_supervision_weight,
+                        remat=self.config.remat,
                     )
         metric = TopK(1)
         t0 = time.time()

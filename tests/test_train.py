@@ -133,3 +133,33 @@ def test_soft_tree_loss_refreshes_tree_and_step(tiny_setup, tmp_path):
     assert tr.jt is not jt_before
     assert tr.train_step is not step_before
     assert np.isfinite(m["loss"])
+
+
+def test_remat_train_step_matches(tiny_setup, synthetic_tree):
+    """remat=True (jax.checkpoint forward) computes the same step as
+    remat=False — only the memory/recompute schedule differs."""
+    import jax
+    from nbdt_tpu.trainer import TrainConfig, make_optimizer, make_train_step
+    from nbdt_tpu.rules import to_device_tree
+
+    module, variables, tl, vl = tiny_setup
+    jt = to_device_tree(synthetic_tree.arrays)
+    cfg = TrainConfig(batch_size=8, epochs=1, lr=0.01)
+    x, y, _ = next(iter(tl))
+    import jax.numpy as jnp
+
+    outs = {}
+    for remat in (False, True):
+        opt = make_optimizer(cfg, 1)
+        params = jax.tree_util.tree_map(lambda a: a.copy(), variables["params"])
+        stats = jax.tree_util.tree_map(
+            lambda a: a.copy(), variables["batch_stats"]
+        )
+        step = make_train_step(module, opt, "SoftTreeSupLoss", jt, remat=remat)
+        p, s, o, m = step(params, stats, opt.init(params),
+                          jnp.asarray(x), jnp.asarray(y),
+                          jnp.float32(1.0), jnp.float32(1.0))
+        outs[remat] = (np.asarray(p["linear"]["kernel"]), float(m["loss"]))
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=2e-5,
+                               atol=2e-6)
+    assert abs(outs[False][1] - outs[True][1]) < 1e-5
