@@ -306,7 +306,18 @@ def main():
         bench_jax_fused_only()
         return
     fused = probe_fused_subprocess()  # before jax init (single-client tunnel)
-    ours = max(v for v in (fused, bench_jax()) if v)
+    if fused:
+        # settle: the tunnel stalls when a new session connects immediately
+        # after the previous client disconnects
+        time.sleep(20)
+    plain = None
+    try:
+        plain = bench_jax()
+    except Exception as e:
+        log(f"parent jax paths failed: {type(e).__name__}: {e}")
+    candidates = [v for v in (fused, plain) if v]
+    assert candidates, "no JAX path succeeded"
+    ours = max(candidates)
     baseline = bench_torch()
     result = {
         "metric": "NBDT soft inference images/sec/chip (ResNet18 CIFAR10)",

@@ -67,6 +67,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--visualize-decision-node-wnid", "--vdnw", default=None)
     parser.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                         help="force JAX backend (default: environment's)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a JAX profiler trace of training into "
+                             "DIR (TensorBoard profile / perfetto)")
+    parser.add_argument("--remat", action="store_true",
+                        help="jax.checkpoint the forward (HBM for FLOPs)")
     return parser
 
 
@@ -174,6 +179,7 @@ def main(argv=None):
         path_wnids=args.path_wnids,
         checkpoint_dir=args.checkpoint_dir,
         name=args.name,
+        remat=args.remat,
         tree_start_epochs=args.tree_start_epochs,
         tree_update_every_epochs=args.tree_update_every_epochs,
         tree_update_end_epochs=args.tree_update_end_epochs,
@@ -235,7 +241,13 @@ def main(argv=None):
         Colors.green(f"==> Eval accuracy: {acc:.2f}%")
         return acc
 
-    best = trainer.fit()
+    if args.profile:
+        from .profiling import trace
+
+        with trace(args.profile):
+            best = trainer.fit()
+    else:
+        best = trainer.fit()
     Colors.green(f"==> Best accuracy: {best:.2f}%")
     return best
 
