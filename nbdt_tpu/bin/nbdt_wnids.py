@@ -79,7 +79,16 @@ def main(argv=None):
     assert classes, (
         f"No class names known for {args.dataset}; pass --classes explicitly."
     )
-    wnids = [class_to_wnid(c, i) for i, c in enumerate(classes)]
+
+    # Prefer the embedded canonical table (assets.py) when the request is
+    # for a known dataset's own class list — exact parity with the
+    # reference's shipped wnid files, and correct even without the corpus.
+    from ..assets import DATASET_TO_WNIDS
+
+    if args.classes is None and args.dataset in DATASET_TO_WNIDS:
+        wnids = list(DATASET_TO_WNIDS[args.dataset])
+    else:
+        wnids = [class_to_wnid(c, i) for i, c in enumerate(classes)]
     failures = [c for c, w in zip(classes, wnids) if w.startswith("f")]
     path = os.path.join(args.root, f"{args.dataset}.txt")
     write_wnids(wnids, path)

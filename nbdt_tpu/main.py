@@ -72,6 +72,9 @@ def get_parser() -> argparse.ArgumentParser:
                              "DIR (TensorBoard profile / perfetto)")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the forward (HBM for FLOPs)")
+    parser.add_argument("--mesh", action="store_true",
+                        help="data-parallel over all local devices (batch "
+                             "sharded over a dp mesh; params replicated)")
     return parser
 
 
@@ -198,9 +201,15 @@ def main(argv=None):
     )
 
     analyzer = build_analyzer(args, tree, testset)
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+        Colors.cyan(f"==> dp mesh over {mesh.devices.size} devices")
     trainer = Trainer(
         config, module, variables, trainloader, testloader, tree=tree,
-        analyzer=analyzer, show_progress=True,
+        analyzer=analyzer, show_progress=True, mesh=mesh,
     )
 
     if args.loss == "SoftTreeLoss":

@@ -176,15 +176,33 @@ class Trainer:
         analyzer=None,
         criterion_state=None,
         show_progress: bool = False,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with a "dp" axis. When given,
+        the trainer replicates params over the mesh and shards every batch's
+        leading axis over dp — the same jitted step then runs data-parallel
+        on any number of chips, with XLA emitting the gradient all-reduces
+        (replaces the reference's DataParallel wrap, main.py:160-161)."""
         self.show_progress = show_progress
         self.config = config
         self.module = module
-        # Private copies: the train step donates these buffers (in-place
-        # update), which would delete the caller's arrays out from under it.
-        copy = lambda t: jax.tree_util.tree_map(
-            lambda a: jnp.array(a, copy=True), t
-        )
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from .parallel import batch_sharding, replicate
+
+            repl = replicate(mesh)
+            copy = lambda t: jax.tree_util.tree_map(
+                lambda a: jax.device_put(np.asarray(a), repl), t
+            )
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            # Private copies either way: the train step donates these buffers
+            # (in-place update), which would otherwise delete the caller's
+            # arrays out from under it.
+            copy = lambda t: jax.tree_util.tree_map(
+                lambda a: jnp.array(a, copy=True), t
+            )
         self.params = copy(variables["params"])
         self.batch_stats = copy(variables.get("batch_stats", {}))
         self.trainloader = trainloader
@@ -210,6 +228,12 @@ class Trainer:
         self.best_acc = 0.0
         self.start_epoch = 0
         self._criterion_jt = None  # last tree seen from criterion_state
+
+    def _put(self, a):
+        """Host batch -> device array, sharded over dp when a mesh is set."""
+        if self._batch_sharding is not None:
+            return jax.device_put(np.asarray(a), self._batch_sharding)
+        return jnp.asarray(a)
 
     # -- weight schedules (reference loss.py:184-209) ------------------------
 
@@ -263,7 +287,7 @@ class Trainer:
         for i, (x, y, valid) in enumerate(self.trainloader):
             self.params, self.batch_stats, self.opt_state, m = self.train_step(
                 self.params, self.batch_stats, self.opt_state,
-                jnp.asarray(x), jnp.asarray(y),
+                self._put(x), self._put(y),
                 jnp.float32(tw), jnp.float32(xw),
             )
             last = {k: float(v) for k, v in m.items()}
@@ -282,7 +306,7 @@ class Trainer:
         if self.analyzer is not None:
             self.analyzer.start_test(epoch)
         for x, y, valid in self.testloader:
-            logits = self.eval_step(self.params, self.batch_stats, jnp.asarray(x))
+            logits = self.eval_step(self.params, self.batch_stats, self._put(x))
             logits_np = np.asarray(logits)[valid]
             y_np = np.asarray(y)[valid]
             metric.forward(logits_np, y_np)
