@@ -72,6 +72,9 @@ def get_parser() -> argparse.ArgumentParser:
                              "DIR (TensorBoard profile / perfetto)")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the forward (HBM for FLOPs)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 conv/matmul compute (params, BN, losses, "
+                             "and NBDT node decisions stay f32)")
     parser.add_argument("--mesh", action="store_true",
                         help="data-parallel over all local devices (batch "
                              "sharded over a dp mesh; params replicated)")
@@ -142,7 +145,11 @@ def main(argv=None):
     num_classes = len(trainset.classes)
 
     image = 64 if args.dataset == "TinyImagenet200" else 32
-    module, variables = init_model(args.arch, num_classes, (image, image, 3))
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    module, variables = init_model(args.arch, num_classes, (image, image, 3),
+                                   dtype=dtype)
 
     # Resolve tree (reference loss.py:82-91 set_default_values).
     tree = None

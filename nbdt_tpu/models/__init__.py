@@ -25,6 +25,8 @@ from .efficientnet import (
     efficientnet_b7,
     efficientnet_b7b,
 )
+from .densenet import DenseNet, densenet121, densenet169
+from .mobilenet import MobileNetV2, mobilenet_v2
 from .resnet import (
     ResNet,
     ResNet10,
@@ -34,6 +36,7 @@ from .resnet import (
     ResNet101,
     ResNet152,
 )
+from .vgg import VGG, vgg11_bn, vgg16_bn
 from .vit import ViT, vit_b16, vit_s16
 from .wideresnet import WRN, wrn28_10, wrn28_10_cifar10, wrn28_10_cifar100
 
@@ -58,6 +61,11 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "efficientnet_b7b": efficientnet_b7b,
     "vit_b16": vit_b16,
     "vit_s16": vit_s16,
+    "mobilenet_v2": mobilenet_v2,
+    "densenet121": densenet121,
+    "densenet169": densenet169,
+    "vgg11_bn": vgg11_bn,
+    "vgg16_bn": vgg16_bn,
 }
 
 

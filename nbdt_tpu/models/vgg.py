@@ -1,0 +1,59 @@
+"""VGG with BatchNorm in Flax (torchvision topology).
+
+Zoo-parity backbone (reference models/__init__.py:1-12 accepts torchvision's
+vgg16_bn etc.). conv3x3-BN-ReLU stacks with maxpool between stages; the
+torchvision 3-layer MLP head is collapsed to global-avg-pool + one Dense
+named ``classifier`` — on TPU the 25M-param fc6/fc7 are pure HBM waste and
+the FC probing contract only needs the final class-row matrix
+(reference graph.py:386-397).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = ("VGG", "vgg11_bn", "vgg16_bn")
+
+_CONFIGS = {
+    11: (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),
+    16: (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+         512, 512, 512, "M", 512, 512, 512, "M"),
+}
+
+
+class VGG(nn.Module):
+    depth: int = 16
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, features_only: bool = False):
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+        out = x.astype(self.dtype)
+        i = 0
+        for v in _CONFIGS[self.depth]:
+            if v == "M":
+                out = nn.max_pool(out, (2, 2), strides=(2, 2))
+            else:
+                out = nn.Conv(int(v), (3, 3), padding=1, use_bias=False,
+                              name=f"conv{i}", dtype=self.dtype)(out)
+                out = nn.relu(norm(name=f"bn{i}")(out))
+                i += 1
+        out = out.mean(axis=(1, 2)).astype(jnp.float32)
+        if features_only:
+            return out
+        return nn.Dense(self.num_classes, name="classifier",
+                        dtype=jnp.float32)(out)
+
+
+def vgg11_bn(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
+    return VGG(depth=11, num_classes=num_classes, dtype=dtype)
+
+
+def vgg16_bn(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
+    return VGG(depth=16, num_classes=num_classes, dtype=dtype)

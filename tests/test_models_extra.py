@@ -50,3 +50,31 @@ def test_vit_nbdt_end_to_end(rng):
     out, decisions = model.forward_with_decisions(x)
     assert np.asarray(out).shape == (2, 10)
     assert len(decisions) == 2
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("arch,size,feat", [
+    ("mobilenet_v2", 32, 1280),
+    ("densenet121", 32, 1024),
+    ("vgg11_bn", 32, 512),
+])
+def test_zoo_backbones_forward(arch, size, feat):
+    """Zoo-parity backbones: logits shape, features_only dim, classifier
+    head probe-able for hierarchy induction."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model(arch, 10, (size, size, 3))
+    x = np.random.RandomState(0).randn(2, size, size, 3).astype(np.float32)
+    out = module.apply(variables, jnp.asarray(x), train=False)
+    assert out.shape == (2, 10)
+    feats = module.apply(variables, jnp.asarray(x), train=False,
+                         features_only=True)
+    assert feats.shape == (2, feat)
+    centers = get_centers_from_flax_params(variables["params"])
+    assert centers is not None and centers.shape == (10, feat)
