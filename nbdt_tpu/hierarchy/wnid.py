@@ -90,6 +90,14 @@ class FakeSynset:
 
 
 def synset_to_wnid(synset) -> str:
+    """synset -> wnid codec: pos letter + zero-padded 8-digit offset
+    (reference wn.py:44-65).
+
+    >>> synset_to_wnid(FakeSynset.create_from_offset(3))
+    'f00000003'
+    >>> wnid_to_synset("f00000042").wnid
+    'f00000042'
+    """
     return f"{synset.pos()}{synset.offset():08d}"
 
 

@@ -272,7 +272,15 @@ def generate_checkpoint_fname(
 
 
 def coerce_tensor(x, is_label: bool = False):
-    """[N, H, W, C] -> [N*H*W, C] (or labels [N, H, W] -> [N*H*W, 1])."""
+    """[N, H, W, C] -> [N*H*W, C] (or labels [N, H, W] -> [N*H*W, 1])
+    (reference utils.py:338-347).
+
+    >>> import numpy as np
+    >>> coerce_tensor(np.zeros((2, 4, 4, 3))).shape
+    (32, 3)
+    >>> uncoerce_tensor(coerce_tensor(np.zeros((2, 4, 4, 3))), (2, 4, 4, 3)).shape
+    (2, 4, 4, 3)
+    """
     if is_label:
         return x.reshape(-1, 1)
     return x.reshape(-1, x.shape[-1])
