@@ -15,7 +15,7 @@ from .custom import (
     wrap_dataset,
 )
 from .imagenet import Imagenet1000, TinyImagenet200
-from .loader import DataLoader
+from .loader import DataLoader, PrefetchLoader
 from .segmentation import (
     ADE20K,
     LookIntoPerson,

@@ -77,3 +77,51 @@ class DataLoader:
             else:
                 batch = batch.astype(np.float32)
             yield batch, labels, valid
+
+
+class PrefetchLoader:
+    """Background-thread prefetch wrapper: overlaps host-side batch
+    assembly/augmentation with device compute.
+
+    The reference overlaps via DataLoader worker *processes*
+    (main.py:136-141); here one thread suffices because the hot host work —
+    the native augmentation kernel (nbdt_tpu/native) — releases the GIL for
+    the duration of the C call, so producer and the main thread's device
+    dispatch genuinely run in parallel. ``depth`` bounds the queue so a slow
+    consumer doesn't balloon host memory.
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+        errors = []
+
+        def produce():
+            try:
+                for item in self.loader:
+                    q.put(item)
+            except BaseException as e:  # surface producer failures
+                errors.append(e)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()
+        if errors:
+            raise errors[0]

@@ -135,7 +135,7 @@ def main(argv=None):
 
     maybe_set_platform(args.platform)
 
-    from .data import DataLoader
+    from .data import DataLoader, PrefetchLoader
     from .models import init_model
     from .tree import Tree
     from .trainer import TrainConfig, Trainer
@@ -195,11 +195,11 @@ def main(argv=None):
         tree_update_end_epochs=args.tree_update_end_epochs,
     )
 
-    trainloader = DataLoader(
+    trainloader = PrefetchLoader(DataLoader(
         trainset, args.batch_size, shuffle=True,
         transform=trainset.transform_train() if hasattr(trainset, "transform_train")
         else None,
-    )
+    ))
     testloader = DataLoader(
         testset, args.batch_size, shuffle=False,
         transform=testset.transform_val() if hasattr(testset, "transform_val")

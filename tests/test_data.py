@@ -109,3 +109,40 @@ def test_loader_through_wrapper():
     dl = DataLoader(inc, 4, shuffle=True)
     for x, y, valid in dl:
         assert set(np.unique(y)) <= {1, 3}
+
+
+def test_prefetch_loader_matches_sync():
+    """PrefetchLoader yields the same batches as iterating directly."""
+    from nbdt_tpu.data import DataLoader, PrefetchLoader, SyntheticDataset
+
+    ds = SyntheticDataset(num_classes=5, size=40, image_size=8)
+    a = DataLoader(ds, 8, shuffle=True, seed=3)
+    b = PrefetchLoader(DataLoader(ds, 8, shuffle=True, seed=3))
+    batches_a = list(a)
+    batches_b = list(b)
+    assert len(batches_a) == len(batches_b) == len(b)
+    for (xa, ya, va), (xb, yb, vb) in zip(batches_a, batches_b):
+        import numpy as np
+
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+
+
+def test_prefetch_loader_propagates_errors():
+    from nbdt_tpu.data import PrefetchLoader
+
+    def bad_gen():
+        yield 1
+        raise ValueError("boom")
+
+    class Bad:
+        def __iter__(self):
+            return bad_gen()
+
+        def __len__(self):
+            return 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="boom"):
+        list(PrefetchLoader(Bad()))
