@@ -31,7 +31,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--path-resume", default="")
     parser.add_argument("--eval", action="store_true")
-    parser.add_argument("--pretrained", action="store_true")
+    parser.add_argument("--pretrained", action="store_true",
+                        help="start from the released reference checkpoint "
+                             "for (arch, dataset) — downloads via model_urls "
+                             "or reads --checkpoint-path")
+    parser.add_argument("--checkpoint-path", default=None,
+                        help="local reference .pth (converted to Flax)")
     parser.add_argument("--name", default="")
     parser.add_argument("--data-root", default="./data")
     parser.add_argument("--download", action="store_true")
@@ -150,6 +155,22 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     module, variables = init_model(args.arch, num_classes, (image, image, 3),
                                    dtype=dtype)
+
+    if args.pretrained or args.checkpoint_path:
+        # Released-reference warm start (reference main.py:150-157 semantics:
+        # --pretrained passes pretrained=True into the arch ctor).
+        from .model import model_urls
+        from .models.convert import torch_state_dict_to_flax
+        from .models.utils import load_state_dict_from_key
+
+        keys = [(args.arch, args.dataset),
+                (args.arch, args.dataset, args.hierarchy)]
+        state_dict = load_state_dict_from_key(
+            keys, model_urls, pretrained=True,
+            checkpoint_path=args.checkpoint_path,
+        )
+        variables = torch_state_dict_to_flax(state_dict, arch=args.arch)
+        Colors.green(f"==> Loaded pretrained weights for {args.arch}/{args.dataset}")
 
     # Resolve tree (reference loss.py:82-91 set_default_values).
     tree = None

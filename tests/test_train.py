@@ -163,3 +163,27 @@ def test_remat_train_step_matches(tiny_setup, synthetic_tree):
     np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=2e-5,
                                atol=2e-6)
     assert abs(outs[False][1] - outs[True][1]) < 1e-5
+
+
+def test_main_cli_checkpoint_path(tmp_path):
+    """--checkpoint-path warm-starts the trainer from a torch .pth
+    (reference --pretrained semantics, main.py:150-157)."""
+    torch = pytest.importorskip("torch")
+
+    from nbdt_tpu.main import main
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.models.convert import flax_to_torch_state_dict
+
+    module, variables = init_model("ResNet18", 10, (32, 32, 3), seed=7)
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in
+          flax_to_torch_state_dict(variables, arch="ResNet18").items()}
+    ckpt = tmp_path / "ckpt.pth"
+    torch.save({"net": sd}, str(ckpt))
+
+    acc = main([
+        "--dataset", "CIFAR10", "--arch", "ResNet18", "--synthetic",
+        "--loss", "CrossEntropyLoss", "--eval", "--batch-size", "16",
+        "--checkpoint-path", str(ckpt), "--platform", "cpu",
+        "--checkpoint-dir", str(tmp_path),
+    ])
+    assert 0 <= acc <= 100
