@@ -131,6 +131,18 @@ def _head_kernel(feats_ref, w_ref, b_ref, m2t_ref, seg_ref, segt_ref, u_ref,
                           precision=hi)
 
 
+def head_constants_bytes(hc: HeadConstants) -> int:
+    """Total bytes of the VMEM-resident constant operands."""
+    return sum(
+        int(np.prod(a.shape)) * 4
+        for a in (hc.W, hc.b, hc.M2T, hc.Seg, hc.SegT, hc.U, hc.mask)
+    )
+
+
+# Constants + one batch tile + intermediates must fit in ~16MB VMEM/core.
+VMEM_CONSTANT_BUDGET = 10 * 1024 * 1024
+
+
 def fused_soft_head(
     feats: jnp.ndarray,
     hc: HeadConstants,
@@ -138,11 +150,26 @@ def fused_soft_head(
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the fused head. feats [B, D] -> (leaf_logp [B, C], logits [B, C],
-    node_logp [B, S]). B must be a multiple of 8; pads internally otherwise."""
+    node_logp [B, S]). B must be a multiple of 8; pads internally otherwise.
+
+    Scale limit: all tree constants live in VMEM, which caps this kernel at
+    roughly C<=256-class trees (CIFAR/TinyImagenet). Wider trees (ImageNet's
+    C=1000 binary tree needs ~32MB of constants) raise ValueError — use the
+    jnp rules path (nbdt_tpu.rules.soft_forward), which XLA tiles through
+    HBM with near-identical throughput at that size.
+    """
     from jax.experimental import pallas as pl
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    const_bytes = head_constants_bytes(hc)
+    if not interpret and const_bytes > VMEM_CONSTANT_BUDGET:
+        raise ValueError(
+            f"fused_soft_head constants ({const_bytes / 2**20:.1f} MiB) exceed "
+            f"the VMEM budget ({VMEM_CONSTANT_BUDGET / 2**20:.0f} MiB); use "
+            "nbdt_tpu.rules.soft_forward for trees this wide."
+        )
 
     B, D = feats.shape
     Cp = hc.W.shape[1]

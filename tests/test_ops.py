@@ -64,3 +64,29 @@ def test_fused_head_cifar10(cifar10_reference_tree, rng):
     np.testing.assert_array_equal(
         np.asarray(leaf).argmax(1), ref_probs.argmax(1)
     )
+
+
+def test_fused_head_vmem_guard():
+    """Trees too wide for VMEM-resident constants raise with a pointer to
+    the jnp path instead of failing inside Mosaic."""
+    import numpy as np
+    import pytest
+
+    from nbdt_tpu.assets import dataset_to_dummy_wnids
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+    from nbdt_tpu.ops.soft_traversal import (
+        VMEM_CONSTANT_BUDGET,
+        head_constants_bytes,
+        prepare_head_constants,
+    )
+    from nbdt_tpu.tree import Tree
+
+    C, D = 1000, 64
+    wnids = [f"f{i:08d}" for i in range(C)]
+    centers = np.random.RandomState(0).randn(C, D).astype(np.float32)
+    tree = Tree.from_graph(build_induced_graph(wnids, centers), wnids,
+                           classes=[f"c{i}" for i in range(C)])
+    hc = prepare_head_constants(
+        tree.arrays, np.zeros((D, C), np.float32), np.zeros(C, np.float32)
+    )
+    assert head_constants_bytes(hc) > VMEM_CONSTANT_BUDGET
