@@ -56,6 +56,7 @@ class TrainConfig:
     name: str = ""
     seed: int = 0
     remat: bool = False  # jax.checkpoint the forward (trade FLOPs for HBM)
+    checkpoint_backend: str = "msgpack"  # msgpack | orbax (sharding-aware)
     # SoftTreeLoss schedule (reference loss.py:278-292)
     tree_start_epochs: int = 67
     tree_update_every_epochs: int = 10
@@ -357,30 +358,51 @@ class Trainer:
         )
 
     def save(self, epoch: int, acc: float) -> str:
-        import flax.serialization
-
         os.makedirs(self.config.checkpoint_dir, exist_ok=True)
         path = os.path.join(self.config.checkpoint_dir, self.checkpoint_fname())
         payload = {
             "params": jax.device_get(self.params),
             "batch_stats": jax.device_get(self.batch_stats),
         }
-        with open(path + ".msgpack", "wb") as f:
-            f.write(flax.serialization.to_bytes(payload))
+        if self.config.checkpoint_backend == "orbax":
+            # Sharding-aware directory checkpoint: on a mesh, each host
+            # writes its own shards (required for multi-host; msgpack would
+            # gather everything to one host).
+            import orbax.checkpoint as ocp
+
+            ckpt_dir = os.path.abspath(path + ".orbax")
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(ckpt_dir, payload, force=True)
+            saved = ckpt_dir
+        else:
+            import flax.serialization
+
+            with open(path + ".msgpack", "wb") as f:
+                f.write(flax.serialization.to_bytes(payload))
+            saved = path + ".msgpack"
         with open(path + ".json", "w") as f:
             json.dump({"acc": acc, "epoch": epoch, "arch": self.config.arch}, f)
-        return path + ".msgpack"
+        return saved
 
     def load(self, path: str) -> None:
-        import flax.serialization
+        if path.endswith(".orbax") or os.path.isdir(path):
+            import orbax.checkpoint as ocp
 
-        with open(path, "rb") as f:
-            payload = flax.serialization.from_bytes(
-                {"params": self.params, "batch_stats": self.batch_stats}, f.read()
-            )
+            with ocp.PyTreeCheckpointer() as ckptr:
+                payload = ckptr.restore(os.path.abspath(path))
+            meta_path = path[: -len(".orbax")] + ".json" \
+                if path.endswith(".orbax") else path + ".json"
+        else:
+            import flax.serialization
+
+            with open(path, "rb") as f:
+                payload = flax.serialization.from_bytes(
+                    {"params": self.params, "batch_stats": self.batch_stats},
+                    f.read(),
+                )
+            meta_path = path.replace(".msgpack", ".json")
         self.params = payload["params"]
         self.batch_stats = payload["batch_stats"]
-        meta_path = path.replace(".msgpack", ".json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)

@@ -187,3 +187,26 @@ def test_main_cli_checkpoint_path(tmp_path):
         "--checkpoint-dir", str(tmp_path),
     ])
     assert 0 <= acc <= 100
+
+
+def test_orbax_checkpoint_roundtrip(tiny_setup, synthetic_tree, tmp_path):
+    """Orbax backend: sharding-aware directory checkpoint round-trips."""
+    pytest.importorskip("orbax.checkpoint")
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables, tl, vl = tiny_setup
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=1, loss="CrossEntropyLoss",
+                      checkpoint_dir=str(tmp_path),
+                      checkpoint_backend="orbax")
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    path = tr.save(epoch=3, acc=42.0)
+    assert path.endswith(".orbax")
+
+    tr2 = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    tr2.load(path)
+    assert tr2.best_acc == 42.0 and tr2.start_epoch == 3
+    np.testing.assert_array_equal(
+        np.asarray(tr.params["linear"]["kernel"]),
+        np.asarray(tr2.params["linear"]["kernel"]),
+    )
