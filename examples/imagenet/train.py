@@ -64,6 +64,8 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree for the classifier")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 conv compute (f32 params/losses)")
     args = parser.parse_args(argv)
 
     from nbdt_tpu.utils import maybe_set_platform
@@ -75,7 +77,7 @@ def main(argv=None):
     import optax
 
     from nbdt_tpu.assets import get_dataset_wnids
-    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.data import DataLoader, PrefetchLoader, SyntheticDataset
     from nbdt_tpu.hierarchy.build import build_induced_graph
     from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
     from nbdt_tpu.losses import cross_entropy, soft_tree_sup_loss
@@ -105,7 +107,9 @@ def main(argv=None):
     mesh = make_mesh(tp=tp)
     print(f"mesh: dp={mesh.devices.shape[0]} tp={mesh.devices.shape[1]}")
 
-    module, variables = init_model(arch, num_classes, (image, image, 3))
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    module, variables = init_model(arch, num_classes, (image, image, 3),
+                                   dtype=dtype)
 
     # Hierarchy: packaged graph for the configured hierarchy if present,
     # else induce from the (possibly random) classifier weights — offline
@@ -133,7 +137,8 @@ def main(argv=None):
         trainset = SyntheticDataset(num_classes, size=2 * batch, image_size=image)
         testset = SyntheticDataset(num_classes, size=batch, image_size=image,
                                    seed=1)
-    trainloader = DataLoader(trainset, batch_size=batch, shuffle=True)
+    trainloader = PrefetchLoader(DataLoader(trainset, batch_size=batch,
+                                            shuffle=True))
     testloader = DataLoader(testset, batch_size=batch, pad_last=True,
                             drop_last=False)
 
