@@ -45,7 +45,12 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None,
                         help="local .pth/.msgpack checkpoint (offline use)")
     parser.add_argument("--hard", action="store_true", help="use hard rules")
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = parser.parse_args(argv)
+
+    from ..utils import maybe_set_platform
+
+    maybe_set_platform(args.platform)
 
     from ..model import HardNBDT, SoftNBDT
     from ..models import get_model

@@ -17,7 +17,12 @@ def main(argv=None):
     parser.add_argument("--arch", default="wrn28_10_cifar10")
     parser.add_argument("--dataset", default="CIFAR10")
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = parser.parse_args(argv)
+
+    from ..utils import maybe_set_platform
+
+    maybe_set_platform(args.platform)
 
     from ..bin.nbdt import preprocess
     from ..models import get_model, make_eval_fn

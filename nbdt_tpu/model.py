@@ -83,18 +83,44 @@ class NBDT:
                 "To load a pretrained NBDT, specify the `arch` (e.g. ResNet18)."
             )
 
+        if pretrained:
+            params = self._load_pretrained_params(
+                model, arch, dataset, hierarchy, checkpoint_path
+            )
+
         if tree is None:
-            tree = Tree(dataset, path_graph, path_wnids, classes, hierarchy=hierarchy)
+            try:
+                tree = Tree(
+                    dataset, path_graph, path_wnids, classes, hierarchy=hierarchy
+                )
+            except FileNotFoundError:
+                # No packaged graph for this hierarchy. For induced-*, the
+                # hierarchy is a pure function of the classifier weights —
+                # induce it from the loaded params right here (offline path;
+                # reference requires the pre-generated JSON instead).
+                if not (hierarchy or "").startswith("induced") or params is None:
+                    raise
+                from .assets import get_dataset_wnids
+                from .hierarchy.build import build_induced_graph
+                from .hierarchy.generate import get_centers_from_flax_params
+
+                centers = get_centers_from_flax_params(params)
+                assert centers is not None, "no classifier kernel in params"
+                wnids = get_dataset_wnids(dataset, path_wnids)
+                G = build_induced_graph(wnids, centers)
+                if classes is None and dataset:
+                    from .tree import dataset_to_dummy_classes
+                    from .utils import DATASET_TO_CLASSES
+
+                    classes = DATASET_TO_CLASSES.get(
+                        dataset, dataset_to_dummy_classes(dataset)
+                    )
+                tree = Tree.from_graph(G, wnids, classes=classes, dataset=dataset)
         self.tree = tree
         self.dataset = dataset
         self.arch = arch
         self.hierarchy = hierarchy
         self.rules = (Rules or self.Rules)(tree=tree)
-
-        if pretrained:
-            params = self._load_pretrained_params(
-                model, arch, dataset, hierarchy, checkpoint_path
-            )
 
         self.params = params
         self.model = self._as_callable(model, params)
