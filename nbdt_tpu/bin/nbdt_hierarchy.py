@@ -59,6 +59,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--vis-margin-left", type=int, default=0)
     parser.add_argument("--vis-above-dy", type=int, default=0)
     parser.add_argument("--vis-below-dy", type=int, default=0)
+    parser.add_argument("--vis-leaf-images", action="store_true",
+                        help="embed one sample image per leaf from the "
+                             "dataset (skipped when data is not on disk)")
+    parser.add_argument("--data-root", default="./data")
     return parser
 
 
@@ -104,6 +108,24 @@ def main(argv=None):
         hierarchies_root=args.hierarchies_root,
     )
     test_hierarchy(args.dataset, path, wnids=wnids)
+    wnid_to_image = None
+    if args.vis_leaf_images and not args.no_vis:
+        # one sample per class from the dataset, keyed by leaf wnid
+        # (reference --vis-leaf-images, hierarchy.py:255-303)
+        try:
+            from ..data import get_dataset
+
+            ds = get_dataset(args.dataset)(root=args.data_root, train=True)
+            import numpy as np
+
+            labels = np.asarray(ds.labels)
+            wnid_to_image = {}
+            for c, w in enumerate(wnids):
+                idx = np.flatnonzero(labels == c)
+                if len(idx):
+                    wnid_to_image[w] = ds.images[idx[0]]
+        except Exception as e:
+            print(f"==> --vis-leaf-images skipped ({type(e).__name__}: {e})")
     if not args.no_vis:
         generate_hierarchy_vis(
             args.dataset, path, out_dir=args.vis_out_dir,
@@ -124,6 +146,7 @@ def main(argv=None):
             margin_left=args.vis_margin_left,
             above_dy=args.vis_above_dy,
             below_dy=args.vis_below_dy,
+            wnid_to_image=wnid_to_image,
         )
 
 

@@ -35,6 +35,8 @@ def build_tree(
     fake_sublabels: bool = False,
     hide: Sequence[str] = (),
     force_labels_left: Sequence[str] = (),
+    wnid_to_image=None,
+    image_size: int = 32,
 ) -> dict:
     """Recursive d3-style dict: {name, id, children, color[, prob, sublabel]}
     (reference hierarchy.py:221-303).
@@ -46,6 +48,9 @@ def build_tree(
       ``fake_sublabels`` includes generated f-wnids too.
     - ``force_labels_left``: node names whose labels render on the left
       (reference --vis-force-labels-left).
+    - ``wnid_to_image``: leaf wnid -> image (HWC uint8 array or PIL image),
+      embedded base64 into the HTML (reference --vis-leaf-images,
+      hierarchy.py:255-303).
     """
     hidden = set(hide)
     highlight = set()
@@ -83,6 +88,8 @@ def build_tree(
             node["labelLeft"] = True
         if edge_probs and wnid in edge_probs:
             node["prob"] = round(float(edge_probs[wnid]), 4)
+        if wnid_to_image is not None and is_leaf and wnid in wnid_to_image:
+            node["image"] = _image_data_uri(wnid_to_image[wnid], image_size)
         children = [c for c in (rec(ch) for ch in G.succ(wnid)) if c]
         if children:
             node["children"] = children
@@ -91,6 +98,26 @@ def build_tree(
     out = rec(root)
     assert out is not None, f"root {root!r} is hidden"
     return out
+
+
+def _image_data_uri(image, size: int = 32) -> str:
+    """array/PIL image -> base64 PNG data URI for inline embedding."""
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    if not hasattr(image, "save"):
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr * 255 if arr.max() <= 1.5 else arr, 0, 255
+                          ).astype(np.uint8)
+        image = Image.fromarray(arr)
+    image = image.resize((size, size))
+    buf = io.BytesIO()
+    image.save(buf, format="PNG")
+    return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
 
 
 _TEMPLATE = """<!DOCTYPE html>
@@ -188,6 +215,16 @@ for (const n of nodes) {
     g.appendChild(s);
     dy += 11;
   }
+  if (n.image !== undefined) {
+    const im = document.createElementNS(NS, 'image');
+    im.setAttribute('href', n.image);
+    im.setAttribute('x', left ? -9 - 36 : 9);
+    im.setAttribute('y', dy);
+    im.setAttribute('width', 32);
+    im.setAttribute('height', 32);
+    g.appendChild(im);
+    dy += 36;
+  }
   if (n.prob !== undefined) {
     const pr = document.createElementNS(NS, 'text');
     pr.setAttribute('dx', left ? -9 : 9);
@@ -262,6 +299,7 @@ def generate_hierarchy_vis_from(
     fake_sublabels: bool = False,
     color_leaves: bool = True,
     force_labels_left: Sequence[str] = (),
+    wnid_to_image=None,
     **vis_kwargs,
 ) -> str:
     """Programmatic entry point (reference hierarchy.py:513-604)."""
@@ -275,6 +313,7 @@ def generate_hierarchy_vis_from(
         fake_sublabels=fake_sublabels,
         hide=hide,
         force_labels_left=force_labels_left,
+        wnid_to_image=wnid_to_image,
     )
     title = f"{dataset or 'hierarchy'}"
     return generate_vis(tree_data, path_html, title=title, **vis_kwargs)

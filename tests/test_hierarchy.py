@@ -180,3 +180,26 @@ def test_vis_options(tmp_path, synthetic_tree):
     data2 = build_tree(G, root, hide=[inner])
     ids = {n["id"] for n in collect(data2, [])}
     assert inner not in ids
+
+
+def test_vis_leaf_images(tmp_path, synthetic_tree):
+    """Leaf sample images embed as base64 data URIs
+    (reference --vis-leaf-images, hierarchy.py:255-303)."""
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("PIL.Image")
+    from nbdt_tpu.hierarchy.vis import generate_hierarchy_vis_from
+
+    rng = np.random.RandomState(0)
+    wnid_to_image = {
+        w: rng.randint(0, 255, (16, 16, 3), dtype=np.uint8)
+        for w in synthetic_tree.wnids_leaves[:3]
+    }
+    out = generate_hierarchy_vis_from(
+        synthetic_tree.G, dataset="Synthetic",
+        path_html=str(tmp_path / "imgs.html"),
+        wnid_to_image=wnid_to_image,
+    )
+    html = open(out).read()
+    assert html.count("data:image/png;base64,") == 3

@@ -281,3 +281,30 @@ def test_wrn_torch_to_flax_parity():
     with torch.no_grad():
         theirs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)
+
+
+def test_nbdt_offline_induced_fallback(tmp_path):
+    """SoftNBDT(pretrained from local .pth, hierarchy=induced-<arch>) induces
+    the hierarchy from the checkpoint's own classifier when no packaged
+    graph exists (offline path)."""
+    torch = pytest.importorskip("torch")
+
+    from nbdt_tpu.model import SoftNBDT
+    from nbdt_tpu.models import get_model, init_model
+    from nbdt_tpu.models.convert import flax_to_torch_state_dict
+
+    module, variables = init_model("ResNet18", 10, (32, 32, 3), seed=11)
+    sd = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+          flax_to_torch_state_dict(variables, arch="ResNet18").items()}
+    ckpt = tmp_path / "ckpt.pth"
+    torch.save({"net": sd}, str(ckpt))
+
+    model = SoftNBDT(
+        dataset="CIFAR10", model=get_model("ResNet18", 10), arch="ResNet18",
+        pretrained=True, checkpoint_path=str(ckpt),
+    )
+    assert model.tree.classes[3] == "cat"  # resolved from the registry
+    x = np.random.RandomState(0).randn(2, 32, 32, 3).astype(np.float32)
+    out, decisions = model.forward_with_decisions(x)
+    assert np.asarray(out).shape == (2, 10)
+    assert decisions[0][0]["prob"] == 1.0
