@@ -18,6 +18,7 @@ from .imagenet import Imagenet1000, TinyImagenet200
 from .loader import DataLoader, PrefetchLoader
 from .segmentation import (
     ADE20K,
+    Cityscapes,
     LookIntoPerson,
     PascalContext,
     SegDataLoader,
@@ -41,6 +42,7 @@ DATASET_REGISTRY = {
     "CIFAR100": CIFAR100,
     "TinyImagenet200": TinyImagenet200,
     "Imagenet1000": Imagenet1000,
+    "Cityscapes": Cityscapes,
     "PascalContext": PascalContext,
     "LookIntoPerson": LookIntoPerson,
     "ADE20K": ADE20K,

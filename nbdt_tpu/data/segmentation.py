@@ -32,6 +32,7 @@ from .transforms import IMAGENET_MEAN, IMAGENET_STD
 
 __all__ = [
     "SegDatasetBase",
+    "Cityscapes",
     "PascalContext",
     "LookIntoPerson",
     "ADE20K",
@@ -405,3 +406,67 @@ class SegDataLoader:
                             ys.dtype),
                 ])
             yield xs, ys
+
+
+class Cityscapes(SegDatasetBase):
+    """Cityscapes 19-class semantic segmentation.
+
+    The reference lists Cityscapes in its registry and ships its hierarchy
+    JSON (reference utils.py:26-40, nbdt/hierarchies/Cityscapes/) but
+    provides no loader — its seg training lives in the companion HRNet repo.
+    This loader completes the set: standard layout
+    ``<root>/Cityscapes/leftImg8bit/{split}/<city>/*_leftImg8bit.png`` with
+    ``gtFine/{split}/<city>/*_gtFine_labelIds.png`` masks, raw labelIds
+    converted to the canonical 19 train ids (void -> ignore_label).
+    """
+
+    NUM_CLASS = 19
+    classes = [
+        "road", "sidewalk", "building", "wall", "fence", "pole",
+        "traffic_light", "traffic_sign", "vegetation", "terrain", "sky",
+        "person", "rider", "car", "truck", "bus", "train", "motorcycle",
+        "bicycle",
+    ]
+    # labelId -> trainId (the canonical Cityscapes mapping; everything
+    # else, incl. license plate (-1) and ego vehicle, is void)
+    _LABEL_TO_TRAIN = {
+        7: 0, 8: 1, 11: 2, 12: 3, 13: 4, 17: 5, 19: 6, 20: 7, 21: 8,
+        22: 9, 23: 10, 24: 11, 25: 12, 26: 13, 27: 14, 28: 15, 31: 16,
+        32: 17, 33: 18,
+    }
+
+    def __init__(self, root="./data", split="train", base_size=1024,
+                 crop_size=512, **kw):
+        super().__init__(root, split, base_size, crop_size, **kw)
+        base = os.path.join(root, "Cityscapes")
+        img_root = os.path.join(base, "leftImg8bit", split)
+        if not os.path.isdir(img_root):
+            raise FileNotFoundError(
+                f"Cityscapes images not found at {img_root}. Expected layout: "
+                "Cityscapes/{leftImg8bit,gtFine}/{split}/<city>/*.png."
+            )
+        self.pairs = []
+        for city in sorted(os.listdir(img_root)):
+            cdir = os.path.join(img_root, city)
+            for fname in sorted(os.listdir(cdir)):
+                if not fname.endswith("_leftImg8bit.png"):
+                    continue
+                mask = os.path.join(
+                    base, "gtFine", split, city,
+                    fname.replace("_leftImg8bit.png", "_gtFine_labelIds.png"),
+                )
+                self.pairs.append((os.path.join(cdir, fname), mask))
+
+        lut = np.full(256, self.ignore_label, dtype=np.int32)
+        for label_id, train_id in self._LABEL_TO_TRAIN.items():
+            lut[label_id] = train_id
+        self._lut = lut
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _load_pair(self, index):
+        img_path, mask_path = self.pairs[index]
+        img = _load_image(img_path)
+        mask = self._lut[np.clip(_load_mask(mask_path), 0, 255)]
+        return img, mask

@@ -118,3 +118,36 @@ def test_soft_seg_loss_grads_and_ignore(seg_setup):
     logits = jnp.zeros((4, 7))
     all_void = jnp.full((4,), -1, dtype=jnp.int32)
     assert float(masked_cross_entropy(logits, all_void)) == 0.0
+
+
+def test_cityscapes_label_mapping(tmp_path):
+    """Cityscapes labelIds -> trainIds with void -> ignore; layout errors
+    are clean."""
+    from nbdt_tpu.data.segmentation import Cityscapes
+
+    with pytest.raises(FileNotFoundError):
+        Cityscapes(root=str(tmp_path))
+
+    # fabricate a 1-sample dataset on disk
+    from PIL import Image
+
+    img_dir = tmp_path / "Cityscapes/leftImg8bit/train/cityA"
+    gt_dir = tmp_path / "Cityscapes/gtFine/train/cityA"
+    img_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+        img_dir / "a_leftImg8bit.png")
+    ids = np.zeros((64, 64), dtype=np.uint8)
+    ids[:16] = 7    # road -> 0
+    ids[16:32] = 26  # car -> 13
+    ids[32:] = 3    # void
+    Image.fromarray(ids).save(gt_dir / "a_gtFine_labelIds.png")
+
+    ds = Cityscapes(root=str(tmp_path), split="train", crop_size=32,
+                    base_size=64)
+    assert len(ds) == 1 and ds.NUM_CLASS == 19
+    img, mask = ds._load_pair(0)
+    assert set(np.unique(mask)) <= {0, 13, ds.ignore_label}
+    x, y = ds[0]
+    assert x.shape == (32, 32, 3) and y.shape == (32, 32)
