@@ -115,3 +115,54 @@ def test_soft_decision_probs_parity(reference_rules, our_rules, logits):
     ref0 = [round(float(d["prob"]), 5) for d in ref_decisions[0]]
     our0 = [round(float(d["prob"]), 5) for d in our_decisions[0]]
     assert ref0 == pytest.approx(our0, abs=1e-4)
+
+
+@pytest.fixture(scope="module")
+def targets():
+    return np.random.RandomState(1).randint(0, 10, 32).astype(np.int64)
+
+
+def test_soft_loss_parity(reference_rules, our_rules, logits, targets):
+    """SoftTreeSupLoss total matches the reference's (xent + tsw * tree CE)."""
+    import ref_stubs  # noqa: F401
+    from nbdt.loss import SoftTreeSupLoss as RefSoftLoss
+
+    from nbdt_tpu.losses import SoftTreeSupLoss
+
+    ref_soft, _ = reference_rules
+    our_soft, _ = our_rules
+    tsw = 2.5
+    ref_loss = RefSoftLoss(
+        "CIFAR10", torch.nn.CrossEntropyLoss(), tree=ref_soft.tree,
+        tree_supervision_weight=tsw,
+    )
+    our_loss = SoftTreeSupLoss(tree=our_soft.tree, tree_supervision_weight=tsw)
+    with torch.no_grad():
+        theirs = float(ref_loss(torch.from_numpy(logits),
+                                torch.from_numpy(targets)))
+    ours = float(our_loss(logits, targets.astype(np.int32)))
+    assert ours == pytest.approx(theirs, rel=1e-4)
+
+
+def test_hard_loss_parity(reference_rules, our_rules, logits, targets):
+    """HardTreeSupLoss: our all-node masked gather equals the reference's
+    per-node bucketed CE (incl. the n_sub/(B*N/2) weighting and the tsw
+    factor inside forward_tree)."""
+    import ref_stubs  # noqa: F401
+    from nbdt.loss import HardTreeSupLoss as RefHardLoss
+
+    from nbdt_tpu.losses import HardTreeSupLoss
+
+    _, ref_hard = reference_rules
+    _, our_hard = our_rules
+    tsw = 3.0
+    ref_loss = RefHardLoss(
+        "CIFAR10", torch.nn.CrossEntropyLoss(), tree=ref_hard.tree,
+        tree_supervision_weight=tsw,
+    )
+    our_loss = HardTreeSupLoss(tree=our_hard.tree, tree_supervision_weight=tsw)
+    with torch.no_grad():
+        theirs = float(ref_loss(torch.from_numpy(logits),
+                                torch.from_numpy(targets)))
+    ours = float(our_loss(logits, targets.astype(np.int32)))
+    assert ours == pytest.approx(theirs, rel=1e-4)
