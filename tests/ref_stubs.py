@@ -52,6 +52,24 @@ def install():
         except Exception:
             pass
 
+    # sklearn >= 1.4 renamed AgglomerativeClustering(affinity=) to metric=.
+    try:
+        from sklearn import cluster as _skc
+
+        _AC = _skc.AgglomerativeClustering
+
+        def _compat_ac(*a, affinity=None, **kw):
+            if affinity is not None and affinity != "euclidean":
+                kw.setdefault("metric", affinity)
+            return _AC(*a, **kw)
+
+        _skc.AgglomerativeClustering = _compat_ac
+        import sklearn.cluster
+
+        sklearn.cluster.AgglomerativeClustering = _compat_ac
+    except Exception:
+        pass
+
     sys.path.insert(0, "/root/reference")
 
 install()

@@ -166,3 +166,30 @@ def test_hard_loss_parity(reference_rules, our_rules, logits, targets):
                                 torch.from_numpy(targets)))
     ours = float(our_loss(logits, targets.astype(np.int32)))
     assert ours == pytest.approx(theirs, rel=1e-4)
+
+
+def test_induced_graph_parity():
+    """Hierarchy induction from identical centers produces the identical
+    graph as the reference's sklearn-based builder (reference
+    graph.py:400-464): same node set, same edges, same labels."""
+    pytest.importorskip("sklearn")
+    import ref_stubs  # noqa: F401
+    from nbdt.graph import build_induced_graph as ref_build
+
+    from nbdt_tpu.assets import CIFAR10_WNIDS
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+
+    centers = np.random.RandomState(7).randn(10, 64).astype(np.float32)
+
+    G_ref = ref_build(
+        CIFAR10_WNIDS, None,
+        state_dict={"linear.weight": torch.from_numpy(centers)},
+    )
+    G_ours = build_induced_graph(CIFAR10_WNIDS, centers)
+
+    ref_nodes = set(G_ref.nodes)
+    our_nodes = set(G_ours.nodes)
+    assert ref_nodes == our_nodes
+    assert set(G_ref.edges) == {
+        (u, v) for u in G_ours.nodes for v in G_ours.succ(u)
+    }
