@@ -193,3 +193,33 @@ def test_induced_graph_parity():
     assert set(G_ref.edges) == {
         (u, v) for u in G_ours.nodes for v in G_ours.succ(u)
     }
+
+
+def test_seg_per_pixel_parity(reference_rules, our_rules):
+    """Per-pixel seg path (coerce -> rules -> uncoerce, reference
+    model.py:376-387 + utils.py:338-347): identical per-pixel leaf
+    distributions, ours NHWC vs the reference's NCHW."""
+    import ref_stubs  # noqa: F401
+    from nbdt.utils import coerce_tensor as ref_coerce
+    from nbdt.utils import uncoerce_tensor as ref_uncoerce
+
+    from nbdt_tpu.utils import coerce_tensor, uncoerce_tensor
+
+    ref_soft, _ = reference_rules
+    our_soft, _ = our_rules
+
+    maps_nhwc = (np.random.RandomState(3).randn(2, 4, 4, 10) * 3).astype(
+        np.float32
+    )
+    # ours: NHWC -> flat -> rules -> NHWC
+    flat = coerce_tensor(maps_nhwc)
+    ours = uncoerce_tensor(np.asarray(our_soft.forward(flat)),
+                           maps_nhwc.shape)
+    # reference: NCHW -> flat -> rules -> NCHW
+    maps_nchw = torch.from_numpy(maps_nhwc.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        rflat = ref_coerce(maps_nchw)
+        theirs = ref_uncoerce(ref_soft(rflat), maps_nchw.shape).numpy()
+    np.testing.assert_allclose(
+        ours, theirs.transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-6
+    )
