@@ -7,7 +7,10 @@ setup(
         "Neural-Backed Decision Trees, rebuilt TPU-native on JAX/XLA/Pallas"
     ),
     packages=find_packages(exclude=("tests",)),
-    package_data={"nbdt_tpu.native": ["*.cpp"]},
+    package_data={
+        "nbdt_tpu.native": ["*.cpp"],
+        "nbdt_tpu": ["hierarchies/*/*.json", "wnids/*.txt"],
+    },
     include_package_data=True,
     python_requires=">=3.10",
     install_requires=[

@@ -1,15 +1,12 @@
 """Import hierarchy/wnid assets from an installed reference NBDT checkout.
 
 The reference ships 23 pre-generated hierarchy JSONs and 7 wnid lists as
-package data. This repo regenerates hierarchies with its own builders
-(``nbdt-hierarchy``), but for byte-exact parity with released checkpoints a
-user who has the reference installed can copy its data assets into this
-package's search paths:
+package data; this repo vendors the same files under
+``nbdt_tpu/hierarchies/`` and ``nbdt_tpu/wnids/`` (they are data — wnid
+orderings + graph JSON — and the parity fixtures for released checkpoints).
+This tool refreshes them from a reference checkout:
 
     python tools/import_assets.py --source /path/to/neural-backed-decision-trees
-
-Assets are data (wnid orderings + graph JSON), not code; this tool exists so
-the repo itself does not vendor them.
 """
 
 from __future__ import annotations
