@@ -47,6 +47,7 @@ __all__ = names = (
     "SoftSegTreeSupLoss",
     "CrossEntropyLoss",
     "cross_entropy",
+    "soft_rules_distribution",
     "soft_tree_sup_loss",
     "hard_tree_sup_loss",
     "scheduled_weight",
@@ -66,15 +67,25 @@ def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     return nll.mean()
 
 
-def soft_tree_sup_loss(
-    logits: jnp.ndarray, targets: jnp.ndarray, jt: JTreeArrays
-) -> jnp.ndarray:
-    """CE of targets against the soft-rules leaf distribution used as logits
-    (reference loss.py:264-266)."""
+def soft_rules_distribution(logits: jnp.ndarray, jt: JTreeArrays) -> jnp.ndarray:
+    """The soft-rules leaf distribution (product of per-node child softmax
+    probabilities), as the reference feeds it to the wrapped criterion."""
     outs = get_all_node_outputs(logits, jt)
     leaf_logp = soft_leaf_log_probs(outs.log_probs, jt)
-    class_probs = jnp.exp(leaf_logp)
-    return cross_entropy(class_probs, targets)
+    return jnp.exp(leaf_logp)
+
+
+def soft_tree_sup_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    jt: JTreeArrays,
+    criterion: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """Base criterion applied to the soft-rules leaf distribution used as
+    logits (reference loss.py:264-266: ``self.criterion(rules(outputs),
+    targets)``). Criterion defaults to cross-entropy."""
+    class_probs = soft_rules_distribution(logits, jt)
+    return (criterion or cross_entropy)(class_probs, targets)
 
 
 def hard_tree_sup_loss(
@@ -217,6 +228,15 @@ class HardTreeSupLoss(TreeSupLoss):
         # tree_supervision_weight *inside* forward_tree, and loss.py:195-203
         # scales forward_tree's result by the scheduled tree weight again —
         # so the hard term effectively carries tsw^2 when no schedule is set.
+        #
+        # The vectorized all-pairs collapse (see hard_tree_sup_loss) encodes
+        # per-pair CE directly, so a non-default criterion cannot be routed
+        # through it — fail loudly rather than silently dropping it.
+        assert self.criterion is cross_entropy, (
+            "HardTreeSupLoss supports only the default cross-entropy "
+            "criterion (its vectorized form encodes per-pair CE); got "
+            f"{self.criterion!r}"
+        )
         assert_output_not_nbdt(outputs)
         return hard_tree_sup_loss(
             jnp.asarray(outputs), jnp.asarray(targets), self.jt,
@@ -227,7 +247,10 @@ class HardTreeSupLoss(TreeSupLoss):
 class SoftTreeSupLoss(TreeSupLoss):
     def forward_tree(self, outputs, targets):
         assert_output_not_nbdt(outputs)
-        return soft_tree_sup_loss(jnp.asarray(outputs), jnp.asarray(targets), self.jt)
+        return soft_tree_sup_loss(
+            jnp.asarray(outputs), jnp.asarray(targets), self.jt,
+            criterion=self.criterion,
+        )
 
 
 class SoftTreeLoss(SoftTreeSupLoss):

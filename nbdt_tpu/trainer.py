@@ -63,14 +63,29 @@ class TrainConfig:
     tree_update_end_epochs: int = 120
 
 
+def lr_boundaries(epochs: int, steps_per_epoch: int) -> dict:
+    """Step boundaries for the MultiStepLR drops, epoch-aligned: the drop
+    lands at the first step of epoch int(3/7*E) / int(5/7*E) (reference
+    milestones, main.py:207-210), not at int(3/7 * total_steps)."""
+    steps_per_epoch = max(1, steps_per_epoch)
+    boundaries: dict = {}
+    for milestone_epoch in (int(epochs * 3 / 7), int(epochs * 5 / 7)):
+        step = milestone_epoch * steps_per_epoch
+        boundaries[step] = boundaries.get(step, 1.0) * 0.1
+    return boundaries
+
+
 def make_optimizer(config: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
-    """torch SGD(momentum, weight_decay) + MultiStepLR(3/7E, 5/7E, gamma=.1)."""
-    total_steps = config.epochs * max(1, steps_per_epoch)
-    boundaries = {
-        int(total_steps * 3 / 7): 0.1,
-        int(total_steps * 5 / 7): 0.1,
-    }
-    schedule = optax.piecewise_constant_schedule(config.lr, boundaries)
+    """torch SGD(momentum, weight_decay) + MultiStepLR(3/7E, 5/7E, gamma=.1).
+
+    MultiStepLR milestones are *epoch*-aligned (reference main.py:207-210):
+    the drop lands at the first step of epoch int(3/7*E) / int(5/7*E), not at
+    int(3/7 * total_steps) — those differ by up to ~1 epoch when 3E is not
+    divisible by 7.
+    """
+    schedule = optax.piecewise_constant_schedule(
+        config.lr, lr_boundaries(config.epochs, steps_per_epoch)
+    )
     return optax.chain(
         optax.add_decayed_weights(config.weight_decay),
         optax.trace(decay=config.momentum, nesterov=False),
@@ -78,18 +93,38 @@ def make_optimizer(config: TrainConfig, steps_per_epoch: int) -> optax.GradientT
     )
 
 
-def tree_term_fn(loss_name: str, jt: Optional[JTreeArrays], tsw: float) -> Callable:
+def tree_term_fn(
+    loss_name: str,
+    jt: Optional[JTreeArrays],
+    tsw: float,
+    criterion_fn: Optional[Callable] = None,
+    pre_start: bool = False,
+) -> Callable:
     """The tree component of the total loss, by loss name.
 
     For HardTreeSupLoss the reference's double-tsw quirk is preserved: tsw
     is applied inside the tree term AND via the scheduled tree weight
     (see losses.py HardTreeSupLoss note).
+
+    ``pre_start`` (SoftTreeLoss only): before ``tree_start_epochs`` the
+    reference's SoftTreeLoss.forward_tree returns the plain base criterion
+    (loss.py:297-299), so the total is criterion*(xw + tw) — the tree term IS
+    the criterion, not zero.
+
+    ``criterion_fn``: base criterion applied to the soft-rules leaf
+    distribution (reference loss.py:264-266 applies self.criterion, not a
+    hardcoded CE). Defaults to cross-entropy.
     """
+    criterion = criterion_fn or cross_entropy
     if loss_name in ("CrossEntropyLoss", None, ""):
         return lambda logits, targets: 0.0
     assert jt is not None, f"{loss_name} requires a tree"
+    if loss_name == "SoftTreeLoss" and pre_start:
+        return criterion
     if loss_name in ("SoftTreeSupLoss", "SoftTreeLoss"):
-        return lambda logits, targets: soft_tree_sup_loss(logits, targets, jt)
+        return lambda logits, targets: soft_tree_sup_loss(
+            logits, targets, jt, criterion=criterion
+        )
     if loss_name == "HardTreeSupLoss":
         return lambda logits, targets: hard_tree_sup_loss(
             logits, targets, jt, tree_supervision_weight=tsw
@@ -98,7 +133,9 @@ def tree_term_fn(loss_name: str, jt: Optional[JTreeArrays], tsw: float) -> Calla
 
 
 def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays],
-                    tsw: float = 1.0, remat: bool = False):
+                    tsw: float = 1.0, remat: bool = False,
+                    criterion_fn: Optional[Callable] = None,
+                    pre_start: bool = False):
     """Build the jitted train step.
 
     step(params, batch_stats, opt_state, x, y, tree_weight, xent_weight)
@@ -110,8 +147,16 @@ def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays]
     ``jax.checkpoint``: activations are recomputed during backward instead of
     stored — the standard FLOPs-for-HBM trade for big backbones
     (EfficientNet-B7 @ 224) or large per-chip batches.
+
+    ``criterion_fn(logits, targets)`` is the base criterion the tree loss
+    wraps (reference TreeSupLoss wraps *any* criterion, loss.py:97-111);
+    defaults to cross-entropy. ``pre_start`` selects the SoftTreeLoss
+    warm-up semantics (tree term = base criterion) — the Trainer rebuilds
+    the step once when the tree kicks in at ``tree_start_epochs``.
     """
-    tree_term = tree_term_fn(loss_name, jt, tsw)
+    criterion = criterion_fn or cross_entropy
+    tree_term = tree_term_fn(loss_name, jt, tsw, criterion_fn=criterion,
+                             pre_start=pre_start)
 
     apply_fn = module.apply
     if remat:
@@ -134,7 +179,7 @@ def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays]
     def step(params, batch_stats, opt_state, x, y, tree_weight, xent_weight):
         def loss_fn(p):
             logits, mutated = forward(p, batch_stats, x)
-            loss_x = cross_entropy(logits, y)
+            loss_x = criterion(logits, y)
             loss_t = tree_term(logits, y)
             total = loss_x * xent_weight + loss_t * tree_weight
             return total, (logits, mutated["batch_stats"], loss_x, loss_t)
@@ -178,6 +223,7 @@ class Trainer:
         criterion_state=None,
         show_progress: bool = False,
         mesh=None,
+        criterion_fn: Optional[Callable] = None,
     ):
         """``mesh``: optional jax.sharding.Mesh with a "dp" axis. When given,
         the trainer replicates params over the mesh and shards every batch's
@@ -204,6 +250,7 @@ class Trainer:
             copy = lambda t: jax.tree_util.tree_map(
                 lambda a: jnp.array(a, copy=True), t
             )
+        self._copy = copy  # reused by load() to re-place restored arrays
         self.params = copy(variables["params"])
         self.batch_stats = copy(variables.get("batch_stats", {}))
         self.trainloader = trainloader
@@ -219,16 +266,24 @@ class Trainer:
             jt = to_device_tree(tree.arrays)
         self.jt = jt
 
+        self.criterion_fn = criterion_fn
         self.optimizer = make_optimizer(config, len(trainloader))
         self.opt_state = self.optimizer.init(self.params)
-        self.train_step = make_train_step(
-            module, self.optimizer, config.loss, jt,
-            tsw=config.tree_supervision_weight, remat=config.remat,
+        self._pre_start = (
+            config.loss == "SoftTreeLoss" and config.tree_start_epochs > 0
         )
+        self.train_step = self._make_step(jt)
         self.eval_step = make_eval_step(module)
         self.best_acc = 0.0
         self.start_epoch = 0
         self._criterion_jt = None  # last tree seen from criterion_state
+
+    def _make_step(self, jt):
+        return make_train_step(
+            self.module, self.optimizer, self.config.loss, jt,
+            tsw=self.config.tree_supervision_weight, remat=self.config.remat,
+            criterion_fn=self.criterion_fn, pre_start=self._pre_start,
+        )
 
     def _put(self, a):
         """Host batch -> device array, sharded over dp when a mesh is set."""
@@ -253,14 +308,25 @@ class Trainer:
             c.tree_supervision_weight_power,
         )
         xw = sched(c.xent_weight, c.xent_weight_end, c.xent_weight_power)
-        if c.loss == "SoftTreeLoss" and epoch < c.tree_start_epochs:
-            tw = 0.0  # plain xent until the tree kicks in (loss.py:297-299)
+        # SoftTreeLoss pre-start: tw stays scheduled — the reference's
+        # forward_tree returns the base criterion before tree_start_epochs
+        # (loss.py:297-299), so the total is criterion*(xw + tw). The step's
+        # tree term handles the switch (pre_start in make_train_step).
         return tw, xw
 
     # -- epochs --------------------------------------------------------------
 
     def train_epoch(self, epoch: int) -> dict:
         tw, xw = self._weights(epoch)
+        want_pre = (
+            self.config.loss == "SoftTreeLoss"
+            and epoch < self.config.tree_start_epochs
+        )
+        if want_pre != self._pre_start:
+            # SoftTreeLoss warm-up ends: swap the step's tree term from the
+            # base criterion to the soft tree loss (one recompile, once).
+            self._pre_start = want_pre
+            self.train_step = self._make_step(self.jt)
         if self.criterion_state is not None:
             self.criterion_state.set_epoch(epoch, self.config.epochs)
             # SoftTreeLoss may have regenerated the induced hierarchy from
@@ -276,11 +342,7 @@ class Trainer:
                 elif new_jt is not self._criterion_jt:
                     self._criterion_jt = new_jt
                     self.jt = new_jt
-                    self.train_step = make_train_step(
-                        self.module, self.optimizer, self.config.loss, new_jt,
-                        tsw=self.config.tree_supervision_weight,
-                        remat=self.config.remat,
-                    )
+                    self.train_step = self._make_step(new_jt)
         metric = TopK(1)
         t0 = time.time()
         last = {}
@@ -401,8 +463,14 @@ class Trainer:
                     f.read(),
                 )
             meta_path = path.replace(".msgpack", ".json")
-        self.params = payload["params"]
-        self.batch_stats = payload["batch_stats"]
+        # Re-apply the same placement as __init__ (mesh replication or
+        # private device copies) — restored host arrays would otherwise feed
+        # the donated jitted step unplaced, breaking mesh resume. Optimizer
+        # state is re-initialized: the reference checkpoint stores only the
+        # net state_dict (main.py:301-307), so resume restarts momentum too.
+        self.params = self._copy(payload["params"])
+        self.batch_stats = self._copy(payload["batch_stats"])
+        self.opt_state = self.optimizer.init(self.params)
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)

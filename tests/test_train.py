@@ -59,18 +59,52 @@ def test_evaluate_and_checkpoint(tiny_setup, synthetic_tree, tmp_path):
 
 
 def test_soft_tree_loss_schedule(tiny_setup, synthetic_tree):
-    """SoftTreeLoss: tree weight is zero before tree_start_epochs."""
+    """SoftTreeLoss pre-start: the reference's forward_tree returns the base
+    criterion before tree_start_epochs (loss.py:297-299), so total =
+    CE*(xw + tw) — 2x CE with defaults — and the tree weight stays on its
+    schedule rather than being zeroed. After the switch, the tree term is
+    the actual soft tree loss."""
+    import pytest as _pytest
+
     from nbdt_tpu.trainer import TrainConfig, Trainer
 
     module, variables, tl, vl = tiny_setup
     cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
                       epochs=10, loss="SoftTreeLoss", tree_start_epochs=5,
-                      checkpoint_dir="/tmp/ckpt-test")
+                      lr=0.0, checkpoint_dir="/tmp/ckpt-test")
     tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
-    tw_before, _ = tr._weights(0)
-    tw_after, _ = tr._weights(6)
-    assert tw_before == 0.0
-    assert tw_after > 0.0
+    tw_before, xw_before = tr._weights(0)
+    assert tw_before == 1.0  # scheduled, not zeroed
+
+    pre = tr.train_epoch(0)  # warm-up: tree term IS the criterion
+    assert pre["loss_tree"] == _pytest.approx(pre["loss_xent"], rel=1e-6)
+    assert pre["loss"] == _pytest.approx(
+        pre["loss_xent"] * (tw_before + xw_before), rel=1e-6
+    )
+
+    step_before = tr.train_step
+    post = tr.train_epoch(6)  # tree active: step rebuilt once
+    assert tr.train_step is not step_before
+    assert post["loss_tree"] != _pytest.approx(post["loss_xent"], rel=1e-6)
+
+
+def test_stateful_soft_tree_loss_matches_jitted_step_pre_start(
+    tiny_setup, synthetic_tree
+):
+    """losses.SoftTreeLoss (stateful wrapper) and the jitted train path agree
+    on the pre-start total: criterion*(xw + tw)."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.losses import SoftTreeLoss, cross_entropy
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(8, 7).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, 7, 8))
+    crit = SoftTreeLoss(tree=synthetic_tree, tree_start_epochs=5)
+    crit.set_epoch(0, 10)
+    total = float(crit(logits, targets))
+    ce = float(cross_entropy(logits, targets))
+    assert total == pytest.approx(2.0 * ce, rel=1e-6)
 
 
 def test_optimizer_schedule():
@@ -95,6 +129,109 @@ def test_optimizer_schedule():
     # the update magnitude shrinking sharply
     assert lrs[3] < lrs[2]
     assert lrs[5] < lrs[4]
+
+def test_lr_boundaries_epoch_aligned():
+    """Drops land at the first step of epoch int(3/7*E)/int(5/7*E), exactly
+    like the reference's epoch-milestone MultiStepLR — NOT at
+    int(3/7 * total_steps), which differs when 3E % 7 != 0."""
+    from nbdt_tpu.trainer import lr_boundaries
+
+    # epochs=5, spe=7: milestones epochs 2 and 3 -> steps 14, 21
+    # (total-step rounding would give int(105/7)=15 and int(175/7)=25).
+    assert lr_boundaries(5, 7) == {14: 0.1, 21: 0.1}
+    assert lr_boundaries(200, 10) == {850: 0.1, 1420: 0.1}
+    # Colliding milestones compound rather than overwrite.
+    assert lr_boundaries(1, 4) == {0: pytest.approx(0.01)}
+
+
+def test_custom_criterion_routed(tiny_setup, synthetic_tree):
+    """The base criterion plugs into both terms of the jitted step and into
+    SoftTreeSupLoss's tree term (reference TreeSupLoss wraps any criterion,
+    loss.py:97-111; forward_tree applies it at loss.py:264-266)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbdt_tpu.losses import (
+        SoftTreeSupLoss,
+        HardTreeSupLoss,
+        cross_entropy,
+        soft_rules_distribution,
+    )
+    from nbdt_tpu.rules import to_device_tree
+    from nbdt_tpu.trainer import TrainConfig, make_optimizer, make_train_step
+
+    def smoothed_ce(logits, targets, eps=0.2):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        onehot = jax.nn.one_hot(targets, logits.shape[-1])
+        soft = onehot * (1 - eps) + eps / logits.shape[-1]
+        return -(soft * logp).sum(-1).mean()
+
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(8, 7).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, 7, 8))
+    jt = to_device_tree(synthetic_tree.arrays)
+
+    # Stateful wrapper: tree term uses the custom criterion.
+    crit = SoftTreeSupLoss(tree=synthetic_tree, criterion=smoothed_ce)
+    expected_tree = float(
+        smoothed_ce(soft_rules_distribution(logits, jt), targets)
+    )
+    assert float(crit.forward_tree(logits, targets)) == pytest.approx(
+        expected_tree, rel=1e-5
+    )
+
+    # Jitted step: both terms use the custom criterion.
+    module, variables, tl, vl = tiny_setup
+    cfg = TrainConfig(batch_size=8, epochs=1, lr=0.0)
+    opt = make_optimizer(cfg, 1)
+    params = jax.tree_util.tree_map(lambda a: a.copy(), variables["params"])
+    stats = jax.tree_util.tree_map(
+        lambda a: a.copy(), variables["batch_stats"]
+    )
+    step = make_train_step(module, opt, "SoftTreeSupLoss", jt,
+                           criterion_fn=smoothed_ce)
+    x, y, _ = next(iter(tl))
+    model_logits, _ = module.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x),
+        train=True, mutable=["batch_stats"],
+    )
+    want_xent = float(smoothed_ce(model_logits, jnp.asarray(y)))
+    _, _, _, m = step(params, stats, opt.init(params), jnp.asarray(x),
+                      jnp.asarray(y), jnp.float32(1.0), jnp.float32(1.0))
+    assert float(m["loss_xent"]) == pytest.approx(want_xent, rel=1e-5)
+
+    # Hard loss cannot route a custom criterion — must fail loudly.
+    hard = HardTreeSupLoss(tree=synthetic_tree, criterion=smoothed_ce)
+    with pytest.raises(AssertionError, match="cross-entropy"):
+        hard.forward_tree(logits, targets)
+
+
+def test_trainer_load_replaces_on_mesh(tiny_setup, synthetic_tree, tmp_path):
+    """Trainer.load re-applies the mesh placement from __init__ so resumed
+    params feed the donated step correctly sharded (multi-host resume)."""
+    import jax
+
+    from nbdt_tpu.parallel import make_mesh, replicate
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables, tl, vl = tiny_setup
+    mesh = make_mesh(n_devices=4, tp=1)
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=1, loss="SoftTreeSupLoss",
+                      checkpoint_dir=str(tmp_path))
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree,
+                 mesh=mesh)
+    path = tr.save(epoch=1, acc=10.0)
+
+    tr2 = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree,
+                  mesh=mesh)
+    tr2.load(path)
+    kernel = tr2.params["linear"]["kernel"]
+    assert kernel.sharding.is_equivalent_to(replicate(mesh), kernel.ndim)
+    # and the step still runs with the restored (re-placed) state
+    m = tr2.train_epoch(0)
+    assert np.isfinite(m["loss"])
+
 
 def test_soft_tree_loss_refreshes_tree_and_step(tiny_setup, tmp_path):
     """SoftTreeLoss regenerates the induced hierarchy from live params on its
