@@ -181,8 +181,14 @@ class DecisionRules(Noop):
         self.metric.forward(outputs, targets)
         return round(self.metric.report(), 4) * 100
 
+    @property
+    def accuracy(self) -> float:
+        """Analyzer-defined accuracy in percent (drives the reported score
+        for zero-shot runs, where the standard test metric is disabled)."""
+        return round(self.metric.report() * 100.0, 2)
+
     def end_test(self, epoch):
-        accuracy = round(self.metric.report() * 100.0, 2)
+        accuracy = self.accuracy
         self.best_accuracy = max(accuracy, self.best_accuracy)
         print(
             f"[{self.name}] Accuracy: {accuracy}%, {self.metric.correct}/"
@@ -434,6 +440,10 @@ class Superclass(DecisionRules):
     def start_test(self, epoch):
         self.total = self.correct = 0
 
+    @property
+    def accuracy(self) -> float:
+        return round(self.correct / (float(self.total) or 1) * 100.0, 2)
+
     def _update_batch(self, outputs, targets):
         predicted, targets = self.forward(outputs, targets)
         self.total += len(predicted)
@@ -442,8 +452,7 @@ class Superclass(DecisionRules):
         return f"{self.name}: {accuracy}%"
 
     def end_test(self, epoch):
-        accuracy = round(self.correct / (float(self.total) or 1) * 100.0, 2)
-        print(f"[{self.name}] Accuracy: {accuracy}%, {self.correct}/{self.total}")
+        print(f"[{self.name}] Accuracy: {self.accuracy}%, {self.correct}/{self.total}")
 
 
 class SuperclassNBDT(Superclass):

@@ -92,10 +92,13 @@ def build_datasets(args):
 
     if args.synthetic:
         n = DATASET_TO_NUM_CLASSES[args.dataset]
+        n_test = DATASET_TO_NUM_CLASSES.get(
+            args.dataset_test or args.dataset, n
+        )
         size = 64 if args.dataset == "TinyImagenet200" else 32
         trainset = SyntheticDataset(n, size=4 * args.batch_size, image_size=size)
-        testset = SyntheticDataset(n, size=2 * args.batch_size, image_size=size,
-                                   seed=1)
+        testset = SyntheticDataset(n_test, size=2 * args.batch_size,
+                                   image_size=size, seed=1)
     else:
         cls = get_dataset(args.dataset)
         trainset = cls(root=args.data_root, train=True, download=args.download)
@@ -108,6 +111,14 @@ def build_datasets(args):
         exclude_labels=args.exclude_labels,
         include_classes=args.include_classes,
         probability_labels=args.probability_labels,
+    )
+    # Zero-shot guard (reference main.py:131): a test set with a different
+    # label space is only allowed when the standard eval is disabled (an
+    # analyzer like Superclass then defines the metric).
+    assert list(trainset.classes) == list(testset.classes) \
+        or args.disable_test_eval, (
+        "train/test class mismatch requires --disable-test-eval: "
+        f"{trainset.classes[:5]}... vs {testset.classes[:5]}..."
     )
     return trainset, testset
 
@@ -123,6 +134,8 @@ def build_analyzer(args, tree, testset):
         kwargs["tree"] = tree
     if args.superclass_wnids is not None and issubclass(cls, analysis.Superclass):
         kwargs["superclass_wnids"] = args.superclass_wnids
+        if args.dataset_test and args.dataset_test != args.dataset:
+            kwargs["dataset_test"] = args.dataset_test
     if args.visualize_decision_node_wnid and cls is analysis.VisualizeDecisionNode:
         kwargs["visualize_decision_node_wnid"] = args.visualize_decision_node_wnid
         kwargs["tree"] = tree
@@ -210,6 +223,8 @@ def main(argv=None):
         path_wnids=args.path_wnids,
         checkpoint_dir=args.checkpoint_dir,
         name=args.name,
+        metric=args.metric,
+        disable_test_eval=args.disable_test_eval,
         remat=args.remat,
         tree_start_epochs=args.tree_start_epochs,
         tree_update_every_epochs=args.tree_update_every_epochs,
@@ -229,6 +244,11 @@ def main(argv=None):
     )
 
     analyzer = build_analyzer(args, tree, testset)
+    if args.disable_test_eval and (args.analysis is None or args.analysis == "Noop"):
+        Colors.red(
+            "WARNING: --disable-test-eval turns off the standard test metric; "
+            "pass --analysis (e.g. Superclass) to define one."
+        )
     mesh = None
     if args.mesh:
         from .parallel import make_mesh
@@ -275,6 +295,8 @@ def main(argv=None):
         acc = trainer.evaluate(0, checkpoint=False)
         if analyzer is not None:
             analyzer.end_epoch(0)
+        if args.disable_test_eval and hasattr(analyzer, "accuracy"):
+            acc = analyzer.accuracy  # the analyzer defines the metric
         Colors.green(f"==> Eval accuracy: {acc:.2f}%")
         return acc
 

@@ -28,7 +28,6 @@ import numpy as np
 import optax
 
 from .losses import cross_entropy, hard_tree_sup_loss, soft_tree_sup_loss
-from .metrics import TopK
 from .rules import JTreeArrays
 from .utils import Colors, generate_checkpoint_fname
 
@@ -54,6 +53,11 @@ class TrainConfig:
     path_wnids: Optional[str] = None
     checkpoint_dir: str = "./checkpoint"
     name: str = ""
+    metric: str = "top1"  # top1|top2|top5|top10 (reference main.py:221)
+    # Zero-shot flow (reference main.py:62-72, 272-275): skip the standard
+    # test-set metric when the test dataset's label space differs from the
+    # train classes — the analyzer (e.g. Superclass) defines the metric.
+    disable_test_eval: bool = False
     seed: int = 0
     remat: bool = False  # jax.checkpoint the forward (trade FLOPs for HBM)
     checkpoint_backend: str = "msgpack"  # msgpack | orbax (sharding-aware)
@@ -343,7 +347,6 @@ class Trainer:
                     self._criterion_jt = new_jt
                     self.jt = new_jt
                     self.train_step = self._make_step(new_jt)
-        metric = TopK(1)
         t0 = time.time()
         last = {}
         n_batches = len(self.trainloader)
@@ -365,14 +368,20 @@ class Trainer:
         return last
 
     def evaluate(self, epoch: int = 0, checkpoint: bool = True) -> float:
-        metric = TopK(1)
+        from . import metrics
+
+        metric = getattr(metrics, self.config.metric)()
         if self.analyzer is not None:
             self.analyzer.start_test(epoch)
         for x, y, valid in self.testloader:
             logits = self.eval_step(self.params, self.batch_stats, self._put(x))
             logits_np = np.asarray(logits)[valid]
             y_np = np.asarray(y)[valid]
-            metric.forward(logits_np, y_np)
+            if not self.config.disable_test_eval:
+                # Zero-shot runs skip the standard metric — test labels live
+                # in a different space; the analyzer scores instead
+                # (reference main.py:272-275).
+                metric.forward(logits_np, y_np)
             if self.analyzer is not None:
                 self.analyzer.update_batch(logits_np, y_np, np.asarray(x)[valid])
         acc = metric.report() * 100.0
