@@ -12,6 +12,34 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
+def _dataset_labels(dataset) -> np.ndarray:
+    """All labels of ``dataset`` without materializing images: flat-array
+    datasets answer from their label vector (composing any wrapper remap);
+    streaming datasets fall back to per-sample label reads."""
+    if hasattr(dataset, "labels") and dataset.labels is not None:
+        labels = np.asarray(dataset.labels)
+        inner_map = getattr(dataset, "new_to_old", None)
+        return labels[np.asarray(inner_map)] if inner_map is not None else labels
+    return np.array([dataset[i][1] for i in range(len(dataset))])
+
+
+def _expose_flat_arrays(wrapper, dataset) -> None:
+    """Let DataLoader keep its zero-copy fancy-index gather through wrapper
+    chains: forward the base ``images``/``labels`` stores and compose this
+    wrapper's new_to_old with any inner remap, so the map indexes the base
+    store directly. ``wrapper.dataset`` is unwrapped to match (a flat inner
+    wrapper's map is already base-space by induction), keeping __getitem__
+    consistent with the composed map."""
+    if hasattr(dataset, "images") and hasattr(dataset, "labels") \
+            and dataset.images is not None:
+        wrapper.images = dataset.images
+        wrapper.labels = dataset.labels
+        inner_map = getattr(dataset, "new_to_old", None)
+        if inner_map is not None:
+            wrapper.new_to_old = np.asarray(inner_map)[wrapper.new_to_old]
+            wrapper.dataset = dataset.dataset
+
+
 class ResampleLabelsDataset:
     """Per-class inclusion probability with seeded index remap
     (reference custom.py:44-118).
@@ -26,9 +54,10 @@ class ResampleLabelsDataset:
         self.classes = dataset.classes
         self.probability_labels = self._normalize(probability_labels, len(self.classes))
         rng = np.random.RandomState(seed)
-        labels = np.array([dataset[i][1] for i in range(len(dataset))])
+        labels = _dataset_labels(dataset)
         keep = rng.rand(len(labels)) < np.asarray(self.probability_labels)[labels]
         self.new_to_old = np.flatnonzero(keep)
+        _expose_flat_arrays(self, dataset)
 
     @staticmethod
     def _normalize(p, num_classes):
@@ -57,9 +86,10 @@ class IncludeLabelsDataset:
         self.dataset = dataset
         self.classes = dataset.classes
         include = set(int(x) for x in include_labels)
-        labels = np.array([dataset[i][1] for i in range(len(dataset))])
+        labels = _dataset_labels(dataset)
         self.new_to_old = np.flatnonzero(np.isin(labels, list(include)))
         self.include_labels = sorted(include)
+        _expose_flat_arrays(self, dataset)
 
     def __len__(self):
         return len(self.new_to_old)

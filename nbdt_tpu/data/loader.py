@@ -6,6 +6,13 @@ gather a uint8 batch, run the batch transform (crop/flip/normalize), and
 hand float32 NHWC arrays to jit. For TPU, static batch shapes matter more
 than worker parallelism — the final partial batch is dropped (train) or
 padded (eval) so every step compiles once.
+
+Memory model: datasets exposing flat ``images``/``labels`` arrays (CIFAR,
+synthetic, memory-mapped stores) are gathered per batch with zero extra
+copies of the full store (a np.memmap pages in only the touched samples);
+anything else is STREAMED — ``dataset[i]`` is called per batch element
+inside the iterator, so RSS stays bounded by batch_size regardless of
+dataset size (ImageNet train would be ~150 GB materialized).
 """
 
 from __future__ import annotations
@@ -34,28 +41,55 @@ class DataLoader:
         self.drop_last = drop_last
         self.pad_last = pad_last
 
-        # Materialize into flat arrays once for vectorized gathers.
+        # Flat-array fast path: per-batch fancy-index gathers (no full-store
+        # copy; a label-subset wrapper's new_to_old remap stays an index
+        # indirection). Otherwise stream per-sample from dataset[i].
+        self._index = None
         if hasattr(dataset, "images") and hasattr(dataset, "labels"):
             self.images = dataset.images
             self.labels = np.asarray(dataset.labels)
             if hasattr(dataset, "new_to_old"):
-                idx = np.asarray(dataset.new_to_old)
-                self.images = self.images[idx]
-                self.labels = self.labels[idx]
+                self._index = np.asarray(dataset.new_to_old)
+                self.labels = self.labels[self._index]
+            self._n = len(self.labels)
         else:
-            pairs = [dataset[i] for i in range(len(dataset))]
-            self.images = np.stack([p[0] for p in pairs])
-            self.labels = np.array([p[1] for p in pairs])
+            self.images = None
+            self.labels = None
+            self._n = len(dataset)
+
+    def _gather(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Fetch one batch of (images, labels) for dataset indices ``idx``."""
+        if self.images is not None:
+            src = self._index[idx] if self._index is not None else idx
+            batch = None
+            if (
+                isinstance(self.images, np.ndarray)
+                and self.images.dtype == np.uint8
+                and self.images.flags.c_contiguous
+            ):
+                from .. import native
+
+                if native.available():
+                    # GIL-releasing C memcpy gather: overlaps with device
+                    # dispatch under PrefetchLoader.
+                    batch = native.gather_batch_u8(self.images, src)
+            if batch is None:
+                batch = self.images[src]
+            return batch, self.labels[idx]
+        samples = [self.dataset[int(i)] for i in idx]
+        batch = np.stack([np.asarray(s[0]) for s in samples])
+        labels = np.array([s[1] for s in samples])
+        return batch, labels
 
     def __len__(self):
-        n = len(self.labels)
+        n = self._n
         if self.drop_last and not self.pad_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Yields (images, labels, valid_mask) float32/int32/bool batches."""
-        n = len(self.labels)
+        n = self._n
         order = np.arange(n)
         if self.shuffle:
             self.rng.shuffle(order)
@@ -70,8 +104,8 @@ class DataLoader:
                 pad = bs - len(idx)
                 idx = np.concatenate([idx, np.zeros(pad, dtype=idx.dtype)])
                 valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
-            batch = self.images[idx]
-            labels = self.labels[idx].astype(np.int32)
+            batch, labels = self._gather(idx)
+            labels = labels.astype(np.int32)
             if self.transform is not None:
                 batch = self.transform(batch)
             else:

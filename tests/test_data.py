@@ -146,3 +146,88 @@ def test_prefetch_loader_propagates_errors():
 
     with pytest.raises(ValueError, match="boom"):
         list(PrefetchLoader(Bad()))
+
+
+class _StreamingDataset:
+    """Per-sample dataset with no flat arrays: loader must stream it.
+
+    Counts __getitem__ calls so tests can prove the loader never
+    materializes the whole dataset (bounded-RSS ImageNet-scale path)."""
+
+    def __init__(self, n, num_classes=5, image_size=8):
+        self.n = n
+        self.num_classes = num_classes
+        self.image_size = image_size
+        self.calls = 0
+        self.classes = [f"c{i}" for i in range(num_classes)]
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        self.calls += 1
+        rng = np.random.RandomState(i)
+        img = rng.randint(0, 256, (self.image_size,) * 2 + (3,), dtype=np.uint8)
+        return img, i % self.num_classes
+
+
+def test_streaming_loader_matches_flat():
+    """Streaming (per-sample) gather yields the same batches as a flat
+    in-RAM loader over identical data."""
+    stream = _StreamingDataset(20)
+    flat = SyntheticDataset(num_classes=5, size=20, image_size=8)
+    flat.images = np.stack([stream[i][0] for i in range(20)])
+    flat.labels = np.array([stream[i][1] for i in range(20)])
+    stream.calls = 0
+
+    dl_stream = DataLoader(stream, 8, shuffle=False, drop_last=False,
+                           pad_last=True)
+    dl_flat = DataLoader(flat, 8, shuffle=False, drop_last=False,
+                         pad_last=True)
+    assert dl_stream.images is None  # streaming mode engaged
+    for (xs, ys, vs), (xf, yf, vf) in zip(dl_stream, dl_flat):
+        np.testing.assert_array_equal(xs, xf)
+        np.testing.assert_array_equal(ys, yf)
+        np.testing.assert_array_equal(vs, vf)
+
+
+def test_streaming_loader_bounded_rss():
+    """ImageNet-scale path: iterating k batches touches only k*batch_size
+    samples — the loader must NOT materialize the dataset up front
+    (the old path did `[dataset[i] for i in range(len(dataset))]`)."""
+    ds = _StreamingDataset(100_000)
+    dl = DataLoader(ds, 16, shuffle=True, drop_last=True)
+    assert ds.calls == 0  # constructing the loader reads nothing
+    it = iter(dl)
+    for _ in range(3):
+        next(it)
+    assert ds.calls == 3 * 16
+
+
+def test_flat_loader_no_full_copy_for_label_subset():
+    """new_to_old remaps stay an index indirection — the loader must not
+    copy the underlying image store (memmap-friendliness)."""
+    ds = SyntheticDataset(num_classes=5, size=20, image_size=8)
+    sub = IncludeLabelsDataset(ds, include_labels=[1, 3])
+    dl = DataLoader(sub, 4, shuffle=False, drop_last=False, pad_last=True)
+    assert dl.images is ds.images  # same object, no remapped copy
+    for x, y, valid in dl:
+        assert set(np.asarray(y)[valid]) <= {1, 3}
+
+
+def test_chained_wrappers_compose_flat_maps():
+    """Include -> Exclude chains keep the base image store and compose
+    their index maps; batches match per-sample __getitem__ reads."""
+    ds = SyntheticDataset(num_classes=5, size=40, image_size=8)
+    chained = wrap_dataset(ds, include_labels=[1, 2, 3], exclude_labels=[2])
+    assert chained.images is ds.images
+    dl = DataLoader(chained, 4, shuffle=False, drop_last=False, pad_last=True)
+    flat = [(x, y, v) for x, y, v in dl]
+    want = [chained[i] for i in range(len(chained))]
+    got_labels = np.concatenate([y[v] for _, y, v in flat])
+    np.testing.assert_array_equal(got_labels, [w[1] for w in want])
+    got_imgs = np.concatenate([x[v] for x, _, v in flat])
+    np.testing.assert_allclose(
+        got_imgs, np.stack([w[0] for w in want]).astype(np.float32)
+    )
+    assert set(got_labels) == {1, 3}
