@@ -66,11 +66,22 @@ def main(argv=None):
                         help="tensor-parallel degree for the classifier")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 conv compute (f32 params/losses)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="join a multi-host mesh (coordinator/process "
+                             "info via flags or NBDT_* env vars)")
+    parser.add_argument("--coordinator-address", default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args(argv)
 
     from nbdt_tpu.utils import maybe_set_platform
 
     maybe_set_platform(args.platform)
+    if args.multihost:
+        from nbdt_tpu.parallel import initialize_multihost
+
+        initialize_multihost(args.coordinator_address, args.num_processes,
+                             args.process_id)
 
     import jax
     import jax.numpy as jnp
@@ -100,8 +111,8 @@ def main(argv=None):
     tsw = loss_cfg.get("tree_supervision_weight", 5.0)
     opt_cfg = cfg.get("optimizer", {})
 
-    # Mesh: all local devices on dp (x tp). Multi-host would call
-    # jax.distributed.initialize() first; the program below is unchanged.
+    # Mesh: all devices (global, after any multihost init) on dp (x tp);
+    # the SPMD program below is identical on 1 host or many.
     n_dev = len(jax.devices())
     tp = args.tp if n_dev % max(args.tp, 1) == 0 else 1
     mesh = make_mesh(tp=tp)

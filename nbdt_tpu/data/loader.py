@@ -32,7 +32,12 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = True,
         pad_last: bool = False,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
+        """``num_shards``/``shard_id``: multi-host data sharding — each host
+        iterates a disjoint strided slice of the (identically shuffled)
+        index order, the DataLoader-worker analogue of DistributedSampler."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -40,6 +45,9 @@ class DataLoader:
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
         self.pad_last = pad_last
+        assert 0 <= shard_id < num_shards
+        self.num_shards = num_shards
+        self.shard_id = shard_id
 
         # Flat-array fast path: per-batch fancy-index gathers (no full-store
         # copy; a label-subset wrapper's new_to_old remap stays an index
@@ -81,18 +89,23 @@ class DataLoader:
         labels = np.array([s[1] for s in samples])
         return batch, labels
 
+    def _shard_size(self) -> int:
+        return len(range(self.shard_id, self._n, self.num_shards))
+
     def __len__(self):
-        n = self._n
+        n = self._shard_size()
         if self.drop_last and not self.pad_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Yields (images, labels, valid_mask) float32/int32/bool batches."""
-        n = self._n
-        order = np.arange(n)
+        order = np.arange(self._n)
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id :: self.num_shards]
+        n = len(order)
         bs = self.batch_size
         stop = n - (n % bs) if (self.drop_last and not self.pad_last) else n
         for start in range(0, stop, bs):

@@ -83,6 +83,17 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh", action="store_true",
                         help="data-parallel over all local devices (batch "
                              "sharded over a dp mesh; params replicated)")
+    # multi-host bootstrap (reference: ClassyVision DDP via
+    # torch.distributed.launch, examples/imagenet/classy_train.py:93-106)
+    parser.add_argument("--multihost", action="store_true",
+                        help="join a multi-host mesh via "
+                             "jax.distributed.initialize (implies --mesh); "
+                             "each host loads its slice of the batch")
+    parser.add_argument("--coordinator-address", default=None,
+                        help="host:port of process 0 (or $NBDT_COORDINATOR; "
+                             "TPU pods auto-detect)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     return parser
 
 
@@ -152,6 +163,21 @@ def main(argv=None):
     from .utils import maybe_set_platform
 
     maybe_set_platform(args.platform)
+    if args.multihost:
+        from .parallel import initialize_multihost
+
+        n_procs = initialize_multihost(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        args.mesh = True
+        import jax as _jax
+
+        print(
+            f"==> multihost: process {_jax.process_index()}/{n_procs}, "
+            f"{len(_jax.devices())} global devices"
+        )
 
     from .data import DataLoader, PrefetchLoader
     from .models import init_model
@@ -231,16 +257,25 @@ def main(argv=None):
         tree_update_end_epochs=args.tree_update_end_epochs,
     )
 
+    # Multi-host: batch_size stays global; each host loads its disjoint
+    # slice (batch/process_count samples per step per host).
+    import jax
+
+    n_procs = jax.process_count() if args.multihost else 1
+    proc_id = jax.process_index() if args.multihost else 0
+    local_bs = max(1, args.batch_size // n_procs)
     trainloader = PrefetchLoader(DataLoader(
-        trainset, args.batch_size, shuffle=True,
+        trainset, local_bs, shuffle=True,
         transform=trainset.transform_train() if hasattr(trainset, "transform_train")
         else None,
+        num_shards=n_procs, shard_id=proc_id,
     ))
     testloader = DataLoader(
-        testset, args.batch_size, shuffle=False,
+        testset, local_bs, shuffle=False,
         transform=testset.transform_val() if hasattr(testset, "transform_val")
         else None,
         drop_last=False, pad_last=True,
+        num_shards=n_procs, shard_id=proc_id,
     )
 
     analyzer = build_analyzer(args, tree, testset)

@@ -15,3 +15,10 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .distributed import (
+    host_array,
+    initialize_multihost,
+    is_multiprocess,
+    local_data,
+    process_local_batch,
+)

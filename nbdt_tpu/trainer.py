@@ -240,11 +240,11 @@ class Trainer:
         self.mesh = mesh
         self._batch_sharding = None
         if mesh is not None:
-            from .parallel import batch_sharding, replicate
+            from .parallel import batch_sharding, host_array, replicate
 
             repl = replicate(mesh)
             copy = lambda t: jax.tree_util.tree_map(
-                lambda a: jax.device_put(np.asarray(a), repl), t
+                lambda a: host_array(np.asarray(a), repl), t
             )
             self._batch_sharding = batch_sharding(mesh)
         else:
@@ -290,9 +290,14 @@ class Trainer:
         )
 
     def _put(self, a):
-        """Host batch -> device array, sharded over dp when a mesh is set."""
+        """Host batch -> device array, sharded over dp when a mesh is set.
+
+        Multi-host: the local batch is this process's slice of the global
+        batch (loaders yield batch_size/process_count per host)."""
         if self._batch_sharding is not None:
-            return jax.device_put(np.asarray(a), self._batch_sharding)
+            from .parallel import process_local_batch
+
+            return process_local_batch(np.asarray(a), self._batch_sharding)
         return jnp.asarray(a)
 
     # -- weight schedules (reference loss.py:184-209) ------------------------
@@ -375,7 +380,13 @@ class Trainer:
             self.analyzer.start_test(epoch)
         for x, y, valid in self.testloader:
             logits = self.eval_step(self.params, self.batch_stats, self._put(x))
-            logits_np = np.asarray(logits)[valid]
+            if self.mesh is not None:
+                from .parallel import local_data
+
+                # Multi-host: score this host's slice (x/y/valid are local).
+                logits_np = local_data(logits)[valid]
+            else:
+                logits_np = np.asarray(logits)[valid]
             y_np = np.asarray(y)[valid]
             if not self.config.disable_test_eval:
                 # Zero-shot runs skip the standard metric — test labels live

@@ -1,0 +1,99 @@
+"""Multi-host DDP-equivalent: two local CPU processes form one 8-device
+mesh via jax.distributed.initialize and run a real sharded
+SoftTreeSupLoss train step + eval through the Trainer (SURVEY §2.4;
+reference counterpart: ClassyVision DDP, classy_train.py:93-106).
+
+Each process gets 4 virtual CPU devices, loads a disjoint half of the
+(identically shuffled) dataset, and contributes its slice of the global
+batch. The jitted step psums gradients across hosts, so both processes
+must report the exact same loss trajectory.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+repo, pid, port = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+sys.path.insert(0, repo)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from nbdt_tpu.parallel import initialize_multihost, make_mesh
+n = initialize_multihost(f"localhost:{port}", 2, pid)
+assert n == 2, n
+assert len(jax.devices()) == 8, jax.devices()
+assert len(jax.local_devices()) == 4
+
+from nbdt_tpu.assets import dataset_to_dummy_wnids
+from nbdt_tpu.data import DataLoader, SyntheticDataset
+from nbdt_tpu.hierarchy.build import build_induced_graph
+from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
+from nbdt_tpu.models import init_model
+from nbdt_tpu.trainer import TrainConfig, Trainer
+from nbdt_tpu.tree import Tree
+
+module, variables = init_model("ResNet10", 7, (16, 16, 3), seed=0)
+wnids = dataset_to_dummy_wnids("CIFAR10")[:7]
+centers = get_centers_from_flax_params(variables["params"])
+tree = Tree.from_graph(build_induced_graph(wnids, centers), wnids,
+                       classes=[f"c{i}" for i in range(7)])
+ds = SyntheticDataset(num_classes=7, size=32, image_size=16)
+tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train(),
+                num_shards=2, shard_id=pid)
+vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
+                pad_last=True, num_shards=2, shard_id=pid)
+mesh = make_mesh()  # dp8 x tp1 across both hosts
+cfg = TrainConfig(batch_size=16, epochs=1, loss="SoftTreeSupLoss", lr=0.01,
+                  checkpoint_dir=f"/tmp/mh-ckpt-{pid}")
+tr = Trainer(cfg, module, variables, tl, vl, tree=tree, mesh=mesh)
+stats = tr.train_epoch(0)
+acc = tr.evaluate(0, checkpoint=False)
+assert 0 <= acc <= 100
+print(f"RESULT {pid} loss={stats['loss']:.6f}", flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_mesh_train_step(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), REPO, str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    losses = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, kv = line.split()
+                losses[pid] = float(kv.split("=")[1])
+    assert set(losses) == {"0", "1"}, outs
+    # Gradients are psummed over the global batch: the replicated loss must
+    # be bit-identical on both hosts.
+    assert losses["0"] == losses["1"]
+    assert np.isfinite(losses["0"])
