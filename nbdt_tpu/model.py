@@ -88,6 +88,16 @@ class NBDT:
                 model, arch, dataset, hierarchy, checkpoint_path
             )
 
+        if classes is None and dataset:
+            # Human-readable class names from the registry when known
+            # (reference bin/nbdt passes DATASET_TO_CLASSES; plain wnid
+            # dummies otherwise).
+            from .tree import dataset_to_dummy_classes
+            from .utils import DATASET_TO_CLASSES
+
+            classes = DATASET_TO_CLASSES.get(
+                dataset, dataset_to_dummy_classes(dataset)
+            )
         if tree is None:
             try:
                 tree = Tree(
@@ -108,13 +118,6 @@ class NBDT:
                 assert centers is not None, "no classifier kernel in params"
                 wnids = get_dataset_wnids(dataset, path_wnids)
                 G = build_induced_graph(wnids, centers)
-                if classes is None and dataset:
-                    from .tree import dataset_to_dummy_classes
-                    from .utils import DATASET_TO_CLASSES
-
-                    classes = DATASET_TO_CLASSES.get(
-                        dataset, dataset_to_dummy_classes(dataset)
-                    )
                 tree = Tree.from_graph(G, wnids, classes=classes, dataset=dataset)
         self.tree = tree
         self.dataset = dataset

@@ -126,11 +126,235 @@ _ARCH_MAPPERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Spec-driven converters: EfficientNet (pytorchcv naming) + ViT (torchvision)
+# ---------------------------------------------------------------------------
+#
+# A *spec* is the full, ordered list of (torch_key, collection, flax_path,
+# kind) for an architecture instance — generated from the same compound/depth
+# config the Flax module uses, so completeness is structural: conversion
+# asserts every spec key exists in the checkpoint and every checkpoint weight
+# is consumed. Kinds:
+#   conv      [O,I,kh,kw] -> HWIO kernel  (also depthwise + 1x1 SE convs)
+#   linear    [C,D] -> [D,C] kernel
+#   raw       copied as-is (biases, BN stats, cls token, pos embeddings)
+#   qkv_w/qkv_b/outproj_w  torch MultiheadAttention packed projections ->
+#             flax MultiHeadDotProductAttention per-head kernels
+
+
+def _efficientnet_spec(variant: str):
+    """pytorchcv EfficientNet state-dict layout (efficientnet.py in
+    pytorchcv): features.init_block / stage{g}.unit{u} / final_block +
+    output.fc. pytorchcv groups units into 5 stages broken at stride-2
+    boundaries; this repo's module keeps the 7 base stages — the flattened
+    block order is identical, so units pair 1:1."""
+    import math
+
+    from .efficientnet import BASE_STAGES, COMPOUND
+
+    wm, dm, _, _ = COMPOUND[variant]
+    entries = []
+
+    def conv(tk, *path):
+        entries.append((tk, "params", path + ("kernel",), "conv"))
+
+    def raw(tk, coll, *path):
+        entries.append((tk, coll, path, "raw"))
+
+    def bn(tk_base, flax_name, *prefix):
+        for part, (coll, leaf) in _BN_PARTS.items():
+            raw(f"{tk_base}.{part}", coll, *(prefix + (flax_name, leaf)))
+
+    conv("features.init_block.conv.conv.weight", "stem_conv")
+    bn("features.init_block.conv.bn", "stem_bn")
+
+    # pytorchcv stage of each base stage: new stage at every stride-2 block.
+    group_of_base = []
+    g = 0
+    for _, _, _, stride, _ in BASE_STAGES:
+        if stride == 2 or not group_of_base:
+            g += 1
+        group_of_base.append(g)
+    unit_counter: Dict[int, int] = {}
+    for si, (expand, c, repeats, stride, kernel) in enumerate(BASE_STAGES):
+        n = int(math.ceil(repeats * dm))
+        g = group_of_base[si]
+        for bi in range(n):
+            u = unit_counter.get(g, 0) + 1
+            unit_counter[g] = u
+            tb = f"features.stage{g}.unit{u}"
+            fb = f"stage{si + 1}_block{bi + 1}"
+            if expand == 1:  # pytorchcv EffiDwsConvUnit
+                conv(f"{tb}.dw_conv.conv.weight", fb, "dw_conv")
+                bn(f"{tb}.dw_conv.bn", "dw_bn", fb)
+                conv(f"{tb}.se.conv1.weight", fb, "se", "reduce")
+                raw(f"{tb}.se.conv1.bias", "params", fb, "se", "reduce", "bias")
+                conv(f"{tb}.se.conv2.weight", fb, "se", "expand")
+                raw(f"{tb}.se.conv2.bias", "params", fb, "se", "expand", "bias")
+                conv(f"{tb}.pw_conv.conv.weight", fb, "project_conv")
+                bn(f"{tb}.pw_conv.bn", "project_bn", fb)
+            else:  # pytorchcv EffiInvResUnit
+                conv(f"{tb}.conv1.conv.weight", fb, "expand_conv")
+                bn(f"{tb}.conv1.bn", "expand_bn", fb)
+                conv(f"{tb}.conv2.conv.weight", fb, "dw_conv")
+                bn(f"{tb}.conv2.bn", "dw_bn", fb)
+                conv(f"{tb}.se.conv1.weight", fb, "se", "reduce")
+                raw(f"{tb}.se.conv1.bias", "params", fb, "se", "reduce", "bias")
+                conv(f"{tb}.se.conv2.weight", fb, "se", "expand")
+                raw(f"{tb}.se.conv2.bias", "params", fb, "se", "expand", "bias")
+                conv(f"{tb}.conv3.conv.weight", fb, "project_conv")
+                bn(f"{tb}.conv3.bn", "project_bn", fb)
+
+    conv("features.final_block.conv.weight", "head_conv")
+    bn("features.final_block.bn", "head_bn")
+    entries.append(("output.fc.weight", "params", ("output", "kernel"), "linear"))
+    entries.append(("output.fc.bias", "params", ("output", "bias"), "raw"))
+    return entries
+
+
+def _vit_spec(depth: int = 12):
+    """torchvision VisionTransformer state-dict layout (vit_b_16):
+    conv_proj, class_token, encoder.pos_embedding,
+    encoder.layers.encoder_layer_{i}.{ln_1,self_attention,ln_2,mlp.{0,3}},
+    encoder.ln, heads.head."""
+    entries = [
+        ("conv_proj.weight", "params", ("patch_embed", "kernel"), "conv"),
+        ("conv_proj.bias", "params", ("patch_embed", "bias"), "raw"),
+        ("class_token", "params", ("cls",), "raw"),
+        ("encoder.pos_embedding", "params", ("pos_embed",), "raw"),
+    ]
+    for i in range(depth):
+        tb = f"encoder.layers.encoder_layer_{i}"
+        fb = f"block{i}"
+        entries += [
+            (f"{tb}.ln_1.weight", "params", (fb, "ln1", "scale"), "raw"),
+            (f"{tb}.ln_1.bias", "params", (fb, "ln1", "bias"), "raw"),
+            (f"{tb}.self_attention.in_proj_weight", "params", (fb, "attn"), "qkv_w"),
+            (f"{tb}.self_attention.in_proj_bias", "params", (fb, "attn"), "qkv_b"),
+            (f"{tb}.self_attention.out_proj.weight", "params",
+             (fb, "attn", "out", "kernel"), "outproj_w"),
+            (f"{tb}.self_attention.out_proj.bias", "params",
+             (fb, "attn", "out", "bias"), "raw"),
+            (f"{tb}.ln_2.weight", "params", (fb, "ln2", "scale"), "raw"),
+            (f"{tb}.ln_2.bias", "params", (fb, "ln2", "bias"), "raw"),
+            (f"{tb}.mlp.0.weight", "params", (fb, "fc1", "kernel"), "linear"),
+            (f"{tb}.mlp.0.bias", "params", (fb, "fc1", "bias"), "raw"),
+            (f"{tb}.mlp.3.weight", "params", (fb, "fc2", "kernel"), "linear"),
+            (f"{tb}.mlp.3.bias", "params", (fb, "fc2", "bias"), "raw"),
+        ]
+    entries += [
+        ("encoder.ln.weight", "params", ("ln", "scale"), "raw"),
+        ("encoder.ln.bias", "params", ("ln", "bias"), "raw"),
+        ("heads.head.weight", "params", ("output", "kernel"), "linear"),
+        ("heads.head.bias", "params", ("output", "bias"), "raw"),
+    ]
+    return entries
+
+
+def _vit_heads(arch: str) -> int:
+    return {"vit_s16": 6}.get(arch, 12)
+
+
+_ARCH_SPECS = {
+    **{f"efficientnet_{v}": (lambda v=v: _efficientnet_spec(v))
+       for v in ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")},
+    "efficientnet_b7b": lambda: _efficientnet_spec("b7"),
+    "vit_b16": _vit_spec,
+    "vit_s16": _vit_spec,
+}
+
+
+def _spec_state_dict_to_flax(state_dict, spec, heads: int) -> dict:
+    state_dict = coerce_state_dict(state_dict)
+    variables: dict = {"params": {}, "batch_stats": {}}
+    consumed = set()
+    for tk, coll, path, kind in spec:
+        assert tk in state_dict, f"checkpoint missing {tk}"
+        v = np.asarray(state_dict[tk])
+        consumed.add(tk)
+        if kind == "conv":
+            _set(variables[coll], path, _conv_kernel(v))
+        elif kind == "linear":
+            _set(variables[coll], path, v.T)
+        elif kind == "raw":
+            _set(variables[coll], path, v)
+        elif kind == "qkv_w":
+            # torch packed in_proj_weight [3D, D]; torch computes x @ W.T,
+            # flax q = x @ kernel[D, H, hd] -> kernel = W_q.T reshaped.
+            d = v.shape[1]
+            hd = d // heads
+            for name, w in zip(("query", "key", "value"), np.split(v, 3, axis=0)):
+                _set(variables[coll], path + (name, "kernel"),
+                     np.ascontiguousarray(w.T).reshape(d, heads, hd))
+        elif kind == "qkv_b":
+            d = v.shape[0] // 3
+            hd = d // heads
+            for name, b in zip(("query", "key", "value"), np.split(v, 3)):
+                _set(variables[coll], path + (name, "bias"),
+                     b.reshape(heads, hd))
+        elif kind == "outproj_w":
+            # torch out = attn @ W_o.T, W_o [D, D]; flax out kernel [H,hd,D].
+            d = v.shape[0]
+            hd = d // heads
+            _set(variables[coll], path,
+                 np.ascontiguousarray(v.T).reshape(heads, hd, d))
+        else:  # pragma: no cover
+            raise AssertionError(kind)
+    leftovers = [
+        k for k in state_dict
+        if k not in consumed and not k.endswith("num_batches_tracked")
+    ]
+    assert not leftovers, f"Unmapped checkpoint keys: {leftovers[:8]}"
+    if not variables["batch_stats"]:
+        variables.pop("batch_stats")
+    return variables
+
+
+def _spec_flax_to_state_dict(variables, spec, heads: int) -> Dict[str, np.ndarray]:
+    params = variables.get("params", {})
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+
+    def get(coll, path):
+        node = params if coll == "params" else stats
+        for p in path:
+            node = node[p]
+        return np.asarray(node)
+
+    for tk, coll, path, kind in spec:
+        if kind == "conv":
+            out[tk] = np.transpose(get(coll, path), (3, 2, 0, 1))
+        elif kind == "linear":
+            out[tk] = get(coll, path).T
+        elif kind == "raw":
+            out[tk] = get(coll, path)
+        elif kind == "qkv_w":
+            ws = [
+                get(coll, path + (n, "kernel")) for n in ("query", "key", "value")
+            ]
+            d = ws[0].shape[0]
+            out[tk] = np.concatenate([w.reshape(d, d).T for w in ws], axis=0)
+        elif kind == "qkv_b":
+            out[tk] = np.concatenate([
+                get(coll, path + (n, "bias")).reshape(-1)
+                for n in ("query", "key", "value")
+            ])
+        elif kind == "outproj_w":
+            w = get(coll, path)  # [H, hd, D]
+            d = w.shape[-1]
+            out[tk] = w.reshape(d, d).T
+    return out
+
+
 def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray], arch: str) -> dict:
     """Convert a flat torch state dict to Flax variables
     ``{"params": ..., "batch_stats": ...}``. Raises on unmapped weights so
     silent drops (and the accuracy loss they cause) are impossible.
     """
+    if arch in _ARCH_SPECS:
+        return _spec_state_dict_to_flax(
+            state_dict, _ARCH_SPECS[arch](), heads=_vit_heads(arch)
+        )
     mapper = _ARCH_MAPPERS.get(arch, _resnet_key_to_path)
     state_dict = coerce_state_dict(state_dict)
     variables: dict = {"params": {}, "batch_stats": {}}
@@ -164,6 +388,10 @@ def flax_to_torch_state_dict(variables: dict, arch: str) -> Dict[str, np.ndarray
     Round-trips through the same rule tables by enumerating known torch keys
     from the Flax tree structure.
     """
+    if arch in _ARCH_SPECS:
+        return _spec_flax_to_state_dict(
+            variables, _ARCH_SPECS[arch](), heads=_vit_heads(arch)
+        )
     params = variables.get("params", {})
     stats = variables.get("batch_stats", {})
     out: Dict[str, np.ndarray] = {}

@@ -70,6 +70,7 @@ class MBConv(nn.Module):
     stride: int
     kernel: int
     se_ratio: float = 0.25
+    tf_pad: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -87,7 +88,8 @@ class MBConv(nn.Module):
         h = nn.Conv(
             mid, (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=self.kernel // 2, feature_group_count=mid,
+            padding="SAME" if self.tf_pad else self.kernel // 2,
+            feature_group_count=mid,
             use_bias=False, name="dw_conv", dtype=self.dtype,
         )(h)
         h = norm(name="dw_bn")(h)
@@ -105,8 +107,13 @@ class MBConv(nn.Module):
 
 
 class EfficientNet(nn.Module):
+    """``tf_mode``: TF-style SAME padding on strided convs — pytorchcv's
+    "b" variants (efficientnet_b7b etc.) carry TF-ported weights whose
+    stride-2 convs pad asymmetrically; required for checkpoint parity."""
+
     variant: str = "b0"
     num_classes: int = 1000
+    tf_mode: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -117,7 +124,8 @@ class EfficientNet(nn.Module):
 
         x = x.astype(self.dtype)
         h = nn.Conv(round_channels(32 * wm), (3, 3), strides=(2, 2),
-                    padding=1, use_bias=False, name="stem_conv",
+                    padding="SAME" if self.tf_mode else 1,
+                    use_bias=False, name="stem_conv",
                     dtype=self.dtype)(x)
         h = norm(name="stem_bn")(h)
         h = nn.swish(h)
@@ -131,6 +139,7 @@ class EfficientNet(nn.Module):
                     expand_ratio=expand,
                     stride=stride if bi == 0 else 1,
                     kernel=kernel,
+                    tf_pad=self.tf_mode,
                     dtype=self.dtype,
                     name=f"stage{si + 1}_block{bi + 1}",
                 )(h, train=train)
@@ -145,11 +154,12 @@ class EfficientNet(nn.Module):
         return nn.Dense(self.num_classes, name="output", dtype=jnp.float32)(h)
 
 
-def _make(variant):
+def _make(variant, tf_mode: bool = False):
     def ctor(num_classes: int = 1000, dtype=jnp.float32) -> EfficientNet:
-        return EfficientNet(variant=variant, num_classes=num_classes, dtype=dtype)
+        return EfficientNet(variant=variant, num_classes=num_classes,
+                            tf_mode=tf_mode, dtype=dtype)
 
-    ctor.__name__ = f"efficientnet_{variant}"
+    ctor.__name__ = f"efficientnet_{variant}" + ("b" if tf_mode else "")
     return ctor
 
 
@@ -161,4 +171,6 @@ efficientnet_b4 = _make("b4")
 efficientnet_b5 = _make("b5")
 efficientnet_b6 = _make("b6")
 efficientnet_b7 = _make("b7")
-efficientnet_b7b = _make("b7")  # reference's pytorchcv alias
+# pytorchcv "b" alias = TF-ported weights (SAME padding), the reference's
+# ImageNet NBDT arch (hierarchy='induced-efficientnet_b7b').
+efficientnet_b7b = _make("b7", tf_mode=True)
