@@ -63,11 +63,17 @@ def get_parser() -> argparse.ArgumentParser:
                         help="embed one sample image per leaf from the "
                              "dataset (skipped when data is not on disk)")
     parser.add_argument("--data-root", default="./data")
+    parser.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                        help="force JAX backend (default: environment's)")
     return parser
 
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+
+    from ..utils import maybe_set_platform
+
+    maybe_set_platform(args.platform)
 
     from ..assets import get_dataset_wnids
     from ..hierarchy.generate import generate_hierarchy, test_hierarchy
