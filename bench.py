@@ -61,14 +61,21 @@ def _measure(fn, variables, xs, name) -> float:
     t0 = time.time()
     float(fn(variables, xs[0]).sum())
     log(f"{name}: compiled in {time.time() - t0:.0f}s")
-    float(fn(variables, xs[1]).sum())  # settle caches
-    t0 = time.perf_counter()
-    outs = [fn(variables, xs[i % len(xs)]) for i in range(ITERS)]
-    total = outs[0].sum()
-    for o in outs[1:]:
-        total = total + o.sum()
-    float(total)  # forces execution of the whole chain
-    dt = time.perf_counter() - t0
+
+    def one_pass():
+        t0 = time.perf_counter()
+        outs = [fn(variables, xs[i % len(xs)]) for i in range(ITERS)]
+        total = outs[0].sum()
+        for o in outs[1:]:
+            total = total + o.sum()
+        float(total)  # forces execution of the whole chain
+        return time.perf_counter() - t0
+
+    # Warm pass absorbs the axon session-handoff stall (a fresh tunnel
+    # session can run minutes-slow in its first device ops); then best of
+    # two timed passes.
+    one_pass()
+    dt = min(one_pass(), one_pass())
     ips = BATCH * ITERS / dt
     log(f"{name}: {ips:,.0f} imgs/sec ({dt / ITERS * 1e3:.2f} ms/batch)")
     return ips
@@ -100,16 +107,18 @@ def bench_jax_fused_only() -> None:
 
     module, variables, tree = _flagship_jax()
     params = variables["params"]
-    hc = prepare_head_constants(
-        tree.arrays, np.asarray(params["linear"]["kernel"]),
-        np.asarray(params["linear"]["bias"]),
-    )
+    kernel = np.asarray(params["linear"]["kernel"])
+    bias = np.asarray(params["linear"]["bias"])
+    hc = prepare_head_constants(tree.arrays, kernel, bias)
+    hc16 = prepare_head_constants(tree.arrays, kernel, bias,
+                                  dtype=jnp.bfloat16)
     on_tpu = jax.default_backend() == "tpu"
 
     @jax.jit
     def forward_fused(variables, x):
         feats = module.apply(variables, x, train=False, features_only=True)
-        leaf, _, _ = fused_soft_head(feats, hc, block_b=256, interpret=not on_tpu)
+        (leaf,) = fused_soft_head(feats, hc, block_b=512, want_aux=False,
+                                  interpret=not on_tpu)
         return leaf
 
     xs = _make_inputs()
@@ -121,8 +130,10 @@ def bench_jax_fused_only() -> None:
     def forward_fused_bf16(variables, x):
         feats = module_bf16.apply(variables, x.astype(jnp.bfloat16),
                                   train=False, features_only=True)
-        leaf, _, _ = fused_soft_head(feats.astype(jnp.float32), hc,
-                                     block_b=256, interpret=not on_tpu)
+        # bf16 classifier inside the kernel (f32 accumulate); the node
+        # decisions stay f32 — same contract as the jnp bf16 serving path.
+        (leaf,) = fused_soft_head(feats, hc16, block_b=512, want_aux=False,
+                                  interpret=not on_tpu)
         return leaf
 
     try:

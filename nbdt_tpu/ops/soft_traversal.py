@@ -4,43 +4,60 @@ path-sum traversal in ONE Pallas kernel.
 This is the BASELINE.json north-star fusion. The reference computes, per
 batch: backbone logits, then a Python loop over ~N inner nodes each doing a
 stack-of-means (reference model.py:101-123), then an index-multiply walk
-(model.py:226-241). Here the whole head is five MXU matmuls + VPU softmax
-arithmetic over compiler-chosen tiles, entirely VMEM-resident:
+(model.py:226-241). Here the whole head runs in one kernel, per batch tile:
 
-    x    = feats @ W + b            [TB, C]   (backbone classifier)
-    nl   = x @ M2ᵀ                  [TB, S]   (per-node child logits;
-                                               M2[s, c] = mean-membership)
-    per-node log-softmax over child segments, via segment-sum matmuls:
-    e    = exp(nl - rowmax) ⊙ mask
-    ssum = e @ Seg                  [TB, N]   (Seg one-hot: slot -> node)
-    lse  = log(ssum) + rowmax
-    logp = (nl - lse@Segᵀ) ⊙ mask   [TB, S]
-    leaf = logp @ U                 [TB, C]   (U one-hot: slot -> descendant
-                                               leaves; path-sum of log-probs)
+    x    = feats @ W + b                 [TB, Cp]  (backbone classifier, MXU)
+    nl   = x @ M2T                       [TB, K*cn] (per-node child logits)
+    per-node log-softmax as CHILD-SLAB arithmetic (VPU): slots are laid out
+    child-major — slab k holds every node's k-th child — so the softmax over
+    a node's children is an elementwise max/exp/sum across K row-slices, no
+    segment matmuls and no shared-row-max approximation (exact per node).
+    leaf = Σ_chunks logp @ U             [TB, Cp]  (path-sum of log-probs)
 
 ``leaf`` is the log of the reference's product-of-probabilities leaf
-distribution; argmax(leaf) is the NBDT prediction. Matmul dimensions are
-padded to 128 lanes (f32 tiling, see pallas_guide "Tiling Constraints").
+distribution; argmax(leaf) is the NBDT prediction.
 
-Numerical note: the shared per-row max (instead of per-node max) keeps the
-segment reduction a matmul; a node sitting > ~85 logits below the row max
-underflows its segment sum, which is clamped — only affects log-probs of
-leaves that are astronomically unlikely, not argmax. The autodiff/training
-path uses the exact jnp formulation in nbdt_tpu.rules instead.
+Design notes (round 2; round 1's kernel lost to plain XLA):
+  * The classifier matmul runs at DEFAULT precision — exactly what the
+    backbone's own Dense layer does in the jnp path. Only the node-decision
+    matmuls (nl, leaf) use HIGHEST: the MXU default truncates f32 inputs to
+    bf16, which measurably flips argmax on close node decisions (CLAUDE.md
+    invariant).
+  * Round 1 reduced per-node softmax with one-hot Seg/SegT MXU matmuls and a
+    shared per-row max; the slab layout replaces both with VPU ops and is
+    exact.
+  * Wide trees no longer hit a VMEM wall: the grid is (batch tiles x node
+    chunks) — tree constants stream through VMEM chunk by chunk (Pallas
+    double-buffers block fetches), the classifier activation persists in a
+    VMEM scratch across chunks, and the leaf tile accumulates in place. An
+    Imagenet1000 binary tree (~18 MiB of constants) runs in 4 chunks.
+  * ``feats``/``W`` may be bf16 (the serving backbone dtype): the classifier
+    matmul then takes the bf16 MXU fast path with f32 accumulation, and all
+    node decisions stay f32.
+
+The autodiff/training path uses the exact jnp formulation in nbdt_tpu.rules.
 """
 
 from __future__ import annotations
 
-import functools
+from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..tree import TreeArrays
 
 NEG = -1e30
+
+# Per-chunk VMEM footprint target for the streamed tree constants. Pallas
+# double-buffers every input block (W included), and the batch tile,
+# classifier scratch, leaf tile, and intermediates all share the ~16 MiB of
+# scoped VMEM — so the streamed chunks get a 2 MiB slice.
+VMEM_CHUNK_BUDGET = 2 * 1024 * 1024
 
 
 def _pad_to(x: np.ndarray, size: int, axis: int, value=0.0) -> np.ndarray:
@@ -57,125 +74,155 @@ def _round_up(n: int, m: int) -> int:
 
 
 class HeadConstants(NamedTuple):
-    """Padded device constants for the fused head. Cp/Sp/Np are the padded
-    class/slot/node dims (multiples of 128)."""
+    """Padded device constants, child-slab (k-major) layout. Cp/Np are the
+    padded class/node dims (multiples of 128); K is the true max children."""
 
     W: jnp.ndarray  # [D, Cp] classifier kernel (zero-padded classes)
-    b: jnp.ndarray  # [Cp]
-    M2T: jnp.ndarray  # [Cp, Sp] membership, transposed for x @ M2T
-    Seg: jnp.ndarray  # [Sp, Np] one-hot slot->node
-    SegT: jnp.ndarray  # [Np, Sp]
-    U: jnp.ndarray  # [Sp, Cp] one-hot slot->descendant-leaf
-    mask: jnp.ndarray  # [1, Sp] 1.0 on valid child slots
+    b: jnp.ndarray  # [1, Cp]
+    M2T: jnp.ndarray  # [Cp, K, Np]  M2T[c, k, n] = membership[n, k, c]
+    U: jnp.ndarray  # [K, Np, Cp]  1.0 where class c descends from slot (n,k)
+    mask: jnp.ndarray  # [K, Np] 1.0 on valid child slots
     num_classes: int  # true C
+    num_nodes: int  # true N
 
 
 def prepare_head_constants(
-    ta: TreeArrays, fc_kernel: np.ndarray, fc_bias: Optional[np.ndarray] = None
+    ta: TreeArrays,
+    fc_kernel: np.ndarray,
+    fc_bias: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
 ) -> HeadConstants:
-    """Build the padded constant bundle from tree arrays + classifier."""
+    """Build the padded constant bundle from tree arrays + classifier.
+
+    ``dtype`` applies to the classifier (W/b) only — pass bf16 to match a
+    bf16 backbone; the tree constants stay f32 (node-decision precision).
+    """
     N, K, C = ta.membership.shape
-    S = N * K
     D = fc_kernel.shape[0]
     assert fc_kernel.shape == (D, C), fc_kernel.shape
 
-    Cp, Sp, Np = _round_up(C, 128), _round_up(S, 128), _round_up(N, 128)
+    Cp, Np = _round_up(C, 128), _round_up(N, 128)
 
-    M2 = ta.membership.reshape(S, C)  # [S, C]
-    U = (ta.under.reshape(S, C) > 0).astype(np.float32)
-    mask = ta.child_mask.reshape(S).astype(np.float32)
-    seg = np.zeros((S, N), dtype=np.float32)
-    seg[np.arange(S), np.arange(S) // K] = 1.0
+    m2t = np.zeros((Cp, K, Np), np.float32)
+    m2t[:C, :, :N] = ta.membership.transpose(2, 1, 0)
+    u = np.zeros((K, Np, Cp), np.float32)
+    u[:, :N, :C] = (ta.under.transpose(1, 0, 2) > 0).astype(np.float32)
+    mask = np.zeros((K, Np), np.float32)
+    mask[:, :N] = ta.child_mask.T.astype(np.float32)
 
     W = _pad_to(np.asarray(fc_kernel, np.float32), Cp, axis=1)
-    b = np.zeros(Cp, np.float32)
+    b = np.zeros((1, Cp), np.float32)
     if fc_bias is not None:
-        b[:C] = np.asarray(fc_bias, np.float32)
+        b[0, :C] = np.asarray(fc_bias, np.float32)
 
     return HeadConstants(
-        W=jnp.asarray(W),
+        W=jnp.asarray(W, dtype),
         b=jnp.asarray(b),
-        M2T=jnp.asarray(_pad_to(_pad_to(M2, Sp, 0), Cp, 1).T.copy()),
-        Seg=jnp.asarray(_pad_to(_pad_to(seg, Sp, 0), Np, 1)),
-        SegT=jnp.asarray(_pad_to(_pad_to(seg, Sp, 0), Np, 1).T.copy()),
-        U=jnp.asarray(_pad_to(_pad_to(U, Sp, 0), Cp, 1)),
-        mask=jnp.asarray(_pad_to(mask, Sp, 0)[None]),
+        M2T=jnp.asarray(m2t),
+        U=jnp.asarray(u),
+        mask=jnp.asarray(mask),
         num_classes=C,
+        num_nodes=N,
     )
-
-
-def _head_kernel(feats_ref, w_ref, b_ref, m2t_ref, seg_ref, segt_ref, u_ref,
-                 mask_ref, leaf_ref, logits_ref, logp_ref):
-    # HIGHEST matmul precision throughout: the TPU MXU's default truncates
-    # f32 inputs to bf16, which is enough to flip argmax on close node
-    # decisions and break decision-path parity (measured ~1.7e-2 drift).
-    hi = jax.lax.Precision.HIGHEST
-    feats = feats_ref[:]
-    x = jnp.dot(feats, w_ref[:], preferred_element_type=jnp.float32, precision=hi)
-    x = x + b_ref[:][None, :]
-    logits_ref[:] = x
-
-    mask = mask_ref[:]
-    nl = jnp.dot(x, m2t_ref[:], preferred_element_type=jnp.float32, precision=hi)
-    nl = jnp.where(mask > 0, nl, NEG)
-
-    rowmax = jnp.max(nl, axis=1, keepdims=True)
-    e = jnp.exp(nl - rowmax) * mask
-    ssum = jnp.dot(e, seg_ref[:], preferred_element_type=jnp.float32, precision=hi)
-    lse = jnp.log(jnp.maximum(ssum, 1e-30)) + rowmax
-    lse_s = jnp.dot(lse, segt_ref[:], preferred_element_type=jnp.float32,
-                    precision=hi)
-    logp = (nl - lse_s) * mask
-    logp_ref[:] = logp
-    leaf_ref[:] = jnp.dot(logp, u_ref[:], preferred_element_type=jnp.float32,
-                          precision=hi)
 
 
 def head_constants_bytes(hc: HeadConstants) -> int:
-    """Total bytes of the VMEM-resident constant operands."""
     return sum(
-        int(np.prod(a.shape)) * 4
-        for a in (hc.W, hc.b, hc.M2T, hc.Seg, hc.SegT, hc.U, hc.mask)
+        int(np.prod(a.shape)) * a.dtype.itemsize
+        for a in (hc.W, hc.b, hc.M2T, hc.U, hc.mask)
     )
 
 
-# Constants + one batch tile + intermediates must fit in ~16MB VMEM/core.
-VMEM_CONSTANT_BUDGET = 10 * 1024 * 1024
+def _pick_chunk(Np: int, K: int, Cp: int) -> int:
+    """Largest node-chunk that divides Np, stays a multiple of 128 (lane
+    width), and whose streamed constants fit the per-chunk budget:
+    M2T chunk [Cp, K, cn] + U chunk [K, cn, Cp], f32."""
+    for q in range(1, Np // 128 + 1):
+        if Np % q:
+            continue
+        cn = Np // q
+        if cn % 128:
+            continue
+        if 2 * Cp * K * cn * 4 <= VMEM_CHUNK_BUDGET:
+            return cn
+    return 128
+
+
+def _head_kernel(feats_ref, w_ref, b_ref, m2t_ref, u_ref, mask_ref,
+                 leaf_ref, *rest, want_aux: bool):
+    if want_aux:
+        logits_ref, logp_ref, x_ref = rest
+    else:
+        x_ref = rest[0]
+    j = pl.program_id(1)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    @pl.when(j == 0)
+    def _():
+        # Classifier at DEFAULT precision — identical to the backbone's own
+        # Dense in the jnp path (bf16 inputs take the MXU fast path).
+        x = jnp.dot(feats_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+        x_ref[:] = x + b_ref[:]
+        leaf_ref[:] = jnp.zeros_like(leaf_ref)
+        if want_aux:
+            logits_ref[:] = x_ref[:]
+
+    x = x_ref[:]  # [TB, Cp] f32, persists across node chunks
+    m2t = m2t_ref[:]  # [Cp, K, cn]
+    Cp, K, cn = m2t.shape
+    tb = x.shape[0]
+
+    # Node-decision matmuls at HIGHEST: bf16 truncation flips close argmax.
+    nl = jnp.dot(x, m2t.reshape(Cp, K * cn), precision=hi,
+                 preferred_element_type=jnp.float32)
+    nl3 = nl.reshape(tb, K, cn)
+    mask = mask_ref[:][None] > 0  # [1, K, cn]
+
+    # Exact per-node log-softmax via child-slab arithmetic (VPU only).
+    masked = jnp.where(mask, nl3, NEG)
+    m = jnp.max(masked, axis=1, keepdims=True)  # [tb, 1, cn]
+    m = jnp.where(m > NEG / 2, m, 0.0)  # all-padded node columns
+    e = jnp.where(mask, jnp.exp(nl3 - m), 0.0)
+    lse = jnp.log(jnp.maximum(e.sum(axis=1, keepdims=True), 1e-30)) + m
+    logp = jnp.where(mask, nl3 - lse, 0.0)  # zero pads: inert in the U matmul
+
+    if want_aux:
+        logp_ref[:] = jnp.where(mask, logp, NEG)
+
+    u = u_ref[:]  # [K, cn, Cp]
+    leaf_ref[:] += jnp.dot(logp.reshape(tb, K * cn), u.reshape(K * cn, Cp),
+                           precision=hi, preferred_element_type=jnp.float32)
 
 
 def fused_soft_head(
     feats: jnp.ndarray,
     hc: HeadConstants,
-    block_b: int = 256,
+    block_b: int = 512,
     interpret: Optional[bool] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run the fused head. feats [B, D] -> (leaf_logp [B, C], logits [B, C],
-    node_logp [B, S]). B must be a multiple of 8; pads internally otherwise.
+    want_aux: bool = True,
+) -> Tuple[jnp.ndarray, ...]:
+    """Run the fused head. feats [B, D] -> (leaf_logp [B, C][, logits [B, C],
+    node_logp [B, S]]) with S = N*K in node-major slot order (matching
+    rules.get_all_node_outputs). ``want_aux=False`` returns only the leaf
+    distribution and skips the logits/log-prob HBM writes (serving path).
 
-    Scale limit: all tree constants live in VMEM, which caps this kernel at
-    roughly C<=256-class trees (CIFAR/TinyImagenet). Wider trees (ImageNet's
-    C=1000 binary tree needs ~32MB of constants) raise ValueError — use the
-    jnp rules path (nbdt_tpu.rules.soft_forward), which XLA tiles through
-    HBM with near-identical throughput at that size.
+    Any tree width: constants stream through VMEM in node chunks, so
+    Imagenet1000-scale trees run in the same kernel.
     """
-    from jax.experimental import pallas as pl
-
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    const_bytes = head_constants_bytes(hc)
-    if not interpret and const_bytes > VMEM_CONSTANT_BUDGET:
-        raise ValueError(
-            f"fused_soft_head constants ({const_bytes / 2**20:.1f} MiB) exceed "
-            f"the VMEM budget ({VMEM_CONSTANT_BUDGET / 2**20:.0f} MiB); use "
-            "nbdt_tpu.rules.soft_forward for trees this wide."
-        )
-
     B, D = feats.shape
     Cp = hc.W.shape[1]
-    Sp = hc.M2T.shape[1]
-    Np = hc.Seg.shape[1]
+    K, Np = hc.mask.shape
+    N, C = hc.num_nodes, hc.num_classes
 
+    cn = _pick_chunk(Np, K, Cp)
+    if Np // cn > 1:
+        # Wide tree: the chunk stream + double-buffered W dominate VMEM;
+        # shrink the batch tile so everything stays under the scoped limit.
+        block_b = min(block_b, 128)
     Bp = _round_up(B, min(block_b, _round_up(B, 8)))
     Bp = _round_up(Bp, 8)
     if Bp != B:
@@ -183,40 +230,51 @@ def fused_soft_head(
     tb = min(block_b, Bp)
     while Bp % tb:
         tb //= 2
-    grid = (Bp // tb,)
+    grid = (Bp // tb, Np // cn)
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((Bp, Cp), jnp.float32),  # leaf
-        jax.ShapeDtypeStruct((Bp, Cp), jnp.float32),  # logits
-        jax.ShapeDtypeStruct((Bp, Sp), jnp.float32),  # node logp
-    )
-    row_spec = lambda width: pl.BlockSpec((tb, width), lambda i: (i, 0))
-    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    if feats.dtype != hc.W.dtype:
+        feats = feats.astype(hc.W.dtype)
 
-    leaf, logits, logp = pl.pallas_call(
-        _head_kernel,
+    row = lambda width: pl.BlockSpec((tb, width), lambda i, j: (i, 0))
+    out_shapes = [jax.ShapeDtypeStruct((Bp, Cp), jnp.float32)]
+    out_specs = [row(Cp)]
+    if want_aux:
+        out_shapes += [
+            jax.ShapeDtypeStruct((Bp, Cp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, K, Np), jnp.float32),
+        ]
+        out_specs += [
+            row(Cp),
+            pl.BlockSpec((tb, K, cn), lambda i, j: (i, 0, j)),
+        ]
+
+    outs = pl.pallas_call(
+        partial(_head_kernel, want_aux=want_aux),
         grid=grid,
         in_specs=[
-            row_spec(D),
-            full(hc.W.shape),
-            full(hc.b.shape),
-            full(hc.M2T.shape),
-            full(hc.Seg.shape),
-            full(hc.SegT.shape),
-            full(hc.U.shape),
-            full(hc.mask.shape),
+            row(D),
+            pl.BlockSpec((D, Cp), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, Cp), lambda i, j: (0, 0)),
+            pl.BlockSpec((Cp, K, cn), lambda i, j: (0, 0, j)),
+            pl.BlockSpec((K, cn, Cp), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((K, cn), lambda i, j: (0, j)),
         ],
-        out_specs=(row_spec(Cp), row_spec(Cp), row_spec(Sp)),
-        out_shape=out_shapes,
+        out_specs=tuple(out_specs) if want_aux else out_specs[0],
+        out_shape=tuple(out_shapes) if want_aux else out_shapes[0],
+        scratch_shapes=[pltpu.VMEM((tb, Cp), jnp.float32)],
         interpret=interpret,
-    )(feats, hc.W, hc.b, hc.M2T, hc.Seg, hc.SegT, hc.U, hc.mask)
+    )(feats, hc.W, hc.b, hc.M2T, hc.U, hc.mask)
 
-    C = hc.num_classes
-    return leaf[:B, :C], logits[:B, :C], logp[:B]
+    if not want_aux:
+        return (outs[:B, :C],)
+    leaf, logits, logp = outs
+    # [B, K, Np] child-slab -> node-major [B, N*K] (the rules layout).
+    logp = logp[:B, :, :N].transpose(0, 2, 1).reshape(B, N * K)
+    return leaf[:B, :C], logits[:B, :C], logp
 
 
 def make_fused_soft_head(ta: TreeArrays, fc_kernel, fc_bias=None,
-                         block_b: int = 256):
+                         block_b: int = 512):
     """Closure-building helper: returns jitted feats -> (leaf_logp, logits)."""
     hc = prepare_head_constants(ta, np.asarray(fc_kernel), fc_bias)
 

@@ -66,27 +66,72 @@ def test_fused_head_cifar10(cifar10_reference_tree, rng):
     )
 
 
-def test_fused_head_vmem_guard():
-    """Trees too wide for VMEM-resident constants raise with a pointer to
-    the jnp path instead of failing inside Mosaic."""
+def test_fused_head_wide_tree_chunked():
+    """Imagenet1000-scale tree: constants exceed any VMEM budget, so the
+    kernel streams node chunks through a (batch, chunk) grid with the leaf
+    tile accumulating in place — results must still match the jnp rules."""
+    import jax.numpy as jnp
     import numpy as np
-    import pytest
 
-    from nbdt_tpu.assets import dataset_to_dummy_wnids
     from nbdt_tpu.hierarchy.build import build_induced_graph
     from nbdt_tpu.ops.soft_traversal import (
-        VMEM_CONSTANT_BUDGET,
-        head_constants_bytes,
+        _pick_chunk,
+        fused_soft_head,
         prepare_head_constants,
     )
+    from nbdt_tpu.rules import soft_forward, to_device_tree
     from nbdt_tpu.tree import Tree
 
-    C, D = 1000, 64
+    C, D = 1000, 32
+    rng = np.random.RandomState(0)
     wnids = [f"f{i:08d}" for i in range(C)]
-    centers = np.random.RandomState(0).randn(C, D).astype(np.float32)
+    centers = rng.randn(C, D).astype(np.float32)
     tree = Tree.from_graph(build_induced_graph(wnids, centers), wnids,
                            classes=[f"c{i}" for i in range(C)])
-    hc = prepare_head_constants(
-        tree.arrays, np.zeros((D, C), np.float32), np.zeros(C, np.float32)
+    ta = tree.arrays
+    W = rng.randn(D, C).astype(np.float32)
+    feats = rng.randn(8, D).astype(np.float32)
+
+    hc = prepare_head_constants(ta, W)
+    K, Np = hc.mask.shape
+    assert _pick_chunk(Np, K, hc.W.shape[1]) < Np  # actually chunked
+
+    (leaf,) = fused_soft_head(jnp.asarray(feats), hc, block_b=8,
+                              want_aux=False)
+    ref = soft_forward(jnp.asarray(feats @ W), to_device_tree(ta))
+    np.testing.assert_allclose(np.exp(np.asarray(leaf)), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(leaf).argmax(1), np.asarray(ref).argmax(1)
     )
-    assert head_constants_bytes(hc) > VMEM_CONSTANT_BUDGET
+
+
+def test_fused_head_bf16_classifier(synthetic_tree, rng):
+    """bf16 feats/W (serving backbone dtype): the classifier matmul takes
+    the bf16 fast path with f32 accumulation, node decisions stay f32 —
+    argmax must match the jnp bf16 serving path."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.ops.soft_traversal import fused_soft_head, prepare_head_constants
+    from nbdt_tpu.rules import soft_forward, to_device_tree
+
+    ta = synthetic_tree.arrays
+    C, D = ta.num_classes, 16
+    W = rng.randn(D, C).astype(np.float32)
+    feats = rng.randn(12, D).astype(np.float32)
+
+    hc = prepare_head_constants(ta, W, dtype=jnp.bfloat16)
+    (leaf,) = fused_soft_head(
+        jnp.asarray(feats, jnp.bfloat16), hc, block_b=8, want_aux=False
+    )
+    assert leaf.dtype == jnp.float32
+    # reference: same bf16 classifier, f32 rules (the jnp serving config)
+    logits = jnp.dot(jnp.asarray(feats, jnp.bfloat16),
+                     jnp.asarray(W, jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    ref = soft_forward(logits, to_device_tree(ta))
+    np.testing.assert_allclose(np.exp(np.asarray(leaf)), np.asarray(ref),
+                               rtol=1e-2, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(leaf).argmax(1), np.asarray(ref).argmax(1)
+    )
