@@ -197,15 +197,22 @@ def main(argv=None):
 
     if args.pretrained or args.checkpoint_path:
         # Released-reference warm start (reference main.py:150-157 semantics:
-        # --pretrained passes pretrained=True into the arch ctor).
-        from .model import model_urls
+        # --pretrained passes pretrained=True into the arch ctor, which
+        # fetches the PLAIN backbone checkpoint from the per-arch url table;
+        # the NBDT-trained urls are the fallback).
+        from .model import model_urls as nbdt_urls
+        from .models import resnet, wideresnet
         from .models.convert import torch_state_dict_to_flax
         from .models.utils import load_state_dict_from_key
 
+        # Backbone tables overwrite NBDT entries on the plain (arch, dataset)
+        # key — matching the reference ctor; hierarchy-specific keys exist
+        # only in the NBDT table and win when present (valid_keys[-1]).
+        urls = {**nbdt_urls, **wideresnet.model_urls, **resnet.model_urls}
         keys = [(args.arch, args.dataset),
                 (args.arch, args.dataset, args.hierarchy)]
         state_dict = load_state_dict_from_key(
-            keys, model_urls, pretrained=True,
+            keys, urls, pretrained=True,
             checkpoint_path=args.checkpoint_path,
         )
         variables = torch_state_dict_to_flax(state_dict, arch=args.arch)

@@ -29,7 +29,20 @@ __all__ = (
     "ResNet50",
     "ResNet101",
     "ResNet152",
+    "model_urls",
 )
+
+# Released plain-backbone checkpoints (reference resnet.py:18-39) — what the
+# reference's ``--pretrained`` arch constructors fetch (vs the NBDT-trained
+# checkpoints in nbdt_tpu.model.model_urls).
+_RELEASES = "https://github.com/alvinwan/neural-backed-decision-trees/releases/download/0.0.1"
+model_urls = {
+    ("ResNet10", "CIFAR10"): f"{_RELEASES}/ckpt-CIFAR10-ResNet10.pth",
+    ("ResNet10", "CIFAR100"): f"{_RELEASES}/ckpt-CIFAR100-ResNet10.pth",
+    ("ResNet18", "CIFAR10"): f"{_RELEASES}/ckpt-CIFAR10-ResNet18.pth",
+    ("ResNet18", "CIFAR100"): f"{_RELEASES}/ckpt-CIFAR100-ResNet18.pth",
+    ("ResNet18", "TinyImagenet200"): f"{_RELEASES}/ckpt-TinyImagenet200-ResNet18.pth",
+}
 
 
 class BasicBlock(nn.Module):

@@ -18,7 +18,15 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ("WRN", "wrn28_10", "wrn28_10_cifar10", "wrn28_10_cifar100")
+__all__ = ("WRN", "wrn28_10", "wrn28_10_cifar10", "wrn28_10_cifar100",
+           "model_urls")
+
+# Released plain-backbone checkpoint (reference wideresnet.py:13-18).
+model_urls = {
+    ("wrn28_10", "TinyImagenet200"):
+        "https://github.com/alvinwan/neural-backed-decision-trees/releases/"
+        "download/0.0.1/ckpt-TinyImagenet200-wrn28_10.pth",
+}
 
 
 class PreResBlock(nn.Module):

@@ -308,3 +308,35 @@ def test_nbdt_offline_induced_fallback(tmp_path):
     out, decisions = model.forward_with_decisions(x)
     assert np.asarray(out).shape == (2, 10)
     assert decisions[0][0]["prob"] == 1.0
+
+
+def test_model_urls_key_parity():
+    """Pretrained checkpoint key tables mirror the reference exactly:
+    NBDT-trained urls (reference model.py:27-57) plus plain-backbone urls
+    (resnet.py:18-39, wideresnet.py:13-18)."""
+    from nbdt_tpu.model import model_urls as nbdt_urls
+    from nbdt_tpu.models import resnet, wideresnet
+
+    assert set(nbdt_urls) == {
+        ("ResNet18", "CIFAR10"),
+        ("wrn28_10_cifar10", "CIFAR10"),
+        ("wrn28_10_cifar10", "CIFAR10", "wordnet"),
+        ("ResNet18", "CIFAR100"),
+        ("wrn28_10_cifar100", "CIFAR100"),
+        ("ResNet18", "TinyImagenet200"),
+        ("wrn28_10", "TinyImagenet200"),
+    }
+    assert set(resnet.model_urls) == {
+        ("ResNet10", "CIFAR10"),
+        ("ResNet10", "CIFAR100"),
+        ("ResNet18", "CIFAR10"),
+        ("ResNet18", "CIFAR100"),
+        ("ResNet18", "TinyImagenet200"),
+    }
+    assert set(wideresnet.model_urls) == {("wrn28_10", "TinyImagenet200")}
+    for table in (nbdt_urls, resnet.model_urls, wideresnet.model_urls):
+        for url in table.values():
+            assert url.startswith(
+                "https://github.com/alvinwan/neural-backed-decision-trees"
+                "/releases/download/0.0.1/ckpt-"
+            )
