@@ -179,11 +179,41 @@ def soft_outputs(logits: jnp.ndarray, jt: JTreeArrays):
 
 
 def hard_traverse(node_preds: jnp.ndarray, jt: JTreeArrays) -> jnp.ndarray:
-    """Vectorized root->leaf argmax walk. Returns predicted class [B].
+    """Closed-form root->leaf argmax walk. Returns predicted class [B].
+
+    A leaf c is the hard prediction iff EVERY inner node on c's root path
+    argmaxes onto c's path child — and for a tree, "(node n, child k) lies
+    on c's path" is exactly "c descends from slot (n, k)", i.e. the `under`
+    matrix. So one MXU matmul counts, per leaf, how many of its path steps
+    the per-node argmax agrees with:
+
+        count[b, c] = one_hot(node_preds)[b].flat @ under.flat[:, c]
+
+    and exactly one leaf reaches its full path length (the walk's target),
+    so argmax(count - path_len) is the prediction: 0 for the walked leaf,
+    <= -1 elsewhere. Replaces the depth-sequential scan version (kept below
+    for parity testing) — no serialized gather chain, pure matmul.
+
+    One-hot values survive bf16 truncation exactly and the accumulation is
+    f32, so this is exact at default MXU precision.
+    """
+    B = node_preds.shape[0]
+    N, K, C = jt.under.shape
+    u = (jt.under.reshape(N * K, C) > 0).astype(jnp.float32)
+    path_len = u.sum(axis=0)  # [C] depth of each leaf
+    chosen = jax.nn.one_hot(node_preds, K, dtype=jnp.float32)  # [B, N, K]
+    count = jnp.dot(chosen.reshape(B, N * K), u,
+                    preferred_element_type=jnp.float32)
+    return jnp.argmax(count - path_len[None], axis=-1).astype(jnp.int32)
+
+
+def hard_traverse_scan(node_preds: jnp.ndarray, jt: JTreeArrays) -> jnp.ndarray:
+    """Sequential reference formulation of the same walk (D gather steps via
+    lax.scan; the literal transcription of reference model.py:164-185).
+    Used to cross-check the closed form.
 
     State per sample is a cursor in [0, N + C): values < N are inner-node
-    indices, values >= N encode leaf class (cursor - N). D gather steps
-    replace the reference's per-sample Python while-loop (model.py:164-185).
+    indices, values >= N encode leaf class (cursor - N).
     """
     B = node_preds.shape[0]
     N, K = jt.child_next.shape

@@ -137,3 +137,51 @@ def test_seg_rules(synthetic_tree, rng):
     assert restored.shape == (2, 4, 4, 7)
     ref = oracle_soft_traverse(flat.astype(np.float64), tree)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_hard_traverse_closed_form_equals_scan(synthetic_tree, rng):
+    """The closed-form (matmul) hard walk equals the sequential scan walk
+    on random node predictions for every sample."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.rules import (
+        get_all_node_outputs,
+        hard_traverse,
+        hard_traverse_scan,
+        to_device_tree,
+    )
+
+    jt = to_device_tree(synthetic_tree.arrays)
+    logits = jnp.asarray(rng.randn(64, jt.num_classes).astype(np.float32))
+    preds = get_all_node_outputs(logits, jt).preds
+    np.testing.assert_array_equal(
+        np.asarray(hard_traverse(preds, jt)),
+        np.asarray(hard_traverse_scan(preds, jt)),
+    )
+
+
+def test_hard_traverse_closed_form_wide_tree(rng):
+    """Same cross-check on a deep 1000-leaf induced tree."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+    from nbdt_tpu.rules import (
+        get_all_node_outputs,
+        hard_traverse,
+        hard_traverse_scan,
+        to_device_tree,
+    )
+    from nbdt_tpu.tree import Tree
+
+    C = 200
+    wnids = [f"f{i:08d}" for i in range(C)]
+    centers = rng.randn(C, 16).astype(np.float32)
+    tree = Tree.from_graph(build_induced_graph(wnids, centers), wnids,
+                           classes=[f"c{i}" for i in range(C)])
+    jt = to_device_tree(tree.arrays)
+    logits = jnp.asarray(rng.randn(32, C).astype(np.float32))
+    preds = get_all_node_outputs(logits, jt).preds
+    np.testing.assert_array_equal(
+        np.asarray(hard_traverse(preds, jt)),
+        np.asarray(hard_traverse_scan(preds, jt)),
+    )
