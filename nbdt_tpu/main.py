@@ -300,6 +300,8 @@ def main(argv=None):
     trainer = Trainer(
         config, module, variables, trainloader, testloader, tree=tree,
         analyzer=analyzer, show_progress=True, mesh=mesh,
+        inverse_transform=testset.transform_val_inverse()
+        if hasattr(testset, "transform_val_inverse") else None,
     )
 
     if args.loss == "SoftTreeLoss":

@@ -228,6 +228,7 @@ class Trainer:
         show_progress: bool = False,
         mesh=None,
         criterion_fn: Optional[Callable] = None,
+        inverse_transform: Optional[Callable] = None,
     ):
         """``mesh``: optional jax.sharding.Mesh with a "dp" axis. When given,
         the trainer replicates params over the mesh and shards every batch's
@@ -261,6 +262,10 @@ class Trainer:
         self.testloader = testloader
         self.tree = tree
         self.analyzer = analyzer
+        # Images handed to analyzers are un-normalized first (reference
+        # main.py:276-277 applies transform_val_inverse) so image-writing
+        # analyzers (ScoreSave family) dump real pixels, not normalized ones.
+        self.inverse_transform = inverse_transform
         self.criterion_state = criterion_state  # e.g. SoftTreeLoss wrapper for refresh
 
         jt = None
@@ -394,7 +399,10 @@ class Trainer:
                 # (reference main.py:272-275).
                 metric.forward(logits_np, y_np)
             if self.analyzer is not None:
-                self.analyzer.update_batch(logits_np, y_np, np.asarray(x)[valid])
+                imgs = np.asarray(x)[valid]
+                if self.inverse_transform is not None:
+                    imgs = np.asarray(self.inverse_transform(imgs))
+                self.analyzer.update_batch(logits_np, y_np, imgs)
         acc = metric.report() * 100.0
         if self.analyzer is not None:
             self.analyzer.end_test(epoch)

@@ -104,3 +104,36 @@ def test_visualize_hierarchy_inference(synthetic_tree, rng, tmp_path):
     assert len(files) == 2
     html = open(files[0]).read()
     assert "CONFIG_TREE_DATA" not in html  # substituted
+
+
+def test_analyzer_receives_unnormalized_images(synthetic_tree):
+    """Trainer.evaluate un-normalizes images before handing them to the
+    analyzer (reference main.py:276-277 applies transform_val_inverse), so
+    image-writing analyzers save real pixels."""
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    seen = []
+
+    class Probe:
+        def start_test(self, epoch): pass
+        def end_test(self, epoch): pass
+        def update_batch(self, outputs, targets, images=None):
+            seen.append(images)
+
+    ds = SyntheticDataset(num_classes=7, size=16, image_size=16)
+    vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
+                    pad_last=True)
+    tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train())
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    cfg = TrainConfig(batch_size=8, epochs=1, loss="CrossEntropyLoss",
+                      checkpoint_dir="/tmp/ckpt-inv")
+    tr = Trainer(cfg, module, variables, tl, vl, analyzer=Probe(),
+                 inverse_transform=ds.transform_val_inverse())
+    tr.evaluate(0, checkpoint=False)
+    assert seen
+    imgs = np.concatenate(seen)
+    # un-normalized pixel space: [0, 1], not standardized (which would have
+    # negative values and ~unit variance around 0)
+    assert imgs.min() >= -1e-5 and imgs.max() <= 1 + 1e-5
