@@ -41,6 +41,73 @@ DISAMBIGUATION = {
     "baby": "baby.n.01",
 }
 
+# The reference's hand-curated sense map (bin/nbdt-wnids:69-128), reproduced
+# with its exact (query word, synset index) semantics: the value selects
+# wn.synsets(word, NOUN)[index] at runtime, so no corpus is needed to author
+# the table and the resolved wnids match the reference's outputs verbatim.
+# Covers the segmentation class vocabularies (ADE20K, PascalContext,
+# LookIntoPerson, Cityscapes) plus CIFAR100 animal senses.
+REFERENCE_SYNSET_INDEX = {
+    "aquarium_fish": ("fingerling", 0),
+    "arcade_machine": ("slot_machine", 0),
+    "background": ("background", 1),
+    "barrel": ("barrel", 1),
+    "beaver": ("beaver", -1),
+    "booth": ("booth", 1),
+    "blind": ("blind", 2),
+    "bulletin_board": ("bulletin_board", 1),
+    "canopy": ("canopy", 2),
+    "case": ("case", -1),
+    "castle": ("castle", 1),
+    "column": ("column", 5),
+    "cushion": ("cushion", 2),
+    "diningtable": ("dining_table", 0),
+    "earth": ("earth", 1),
+    "escalator": ("escalator", 1),
+    "flatfish": ("flatfish", 1),
+    "food": ("food", 1),
+    "glove": ("glove", 1),
+    "grandstand": ("grandstand", 1),
+    "lamp": ("lamp", 1),
+    "land": ("land", 1),
+    "leopard": ("leopard", 1),
+    "left_arm": ("arm", 0),
+    "left_leg": ("leg", 0),
+    "left_shoe": ("shoe", 0),
+    "lobster": ("lobster", 1),
+    "maple_tree": ("maple", 1),
+    "microwave": ("microwave", 1),
+    "monitor": ("monitor", 3),
+    "otter": ("otter", 1),
+    "ottoman": ("ottoman", 2),
+    "path": ("path", 2),
+    "plant": ("plant", 1),
+    "plate": ("plate", 3),
+    "pottedplant": ("plant", 1),
+    "raccoon": ("raccoon", 1),
+    "radiator": ("radiator", 1),
+    "ray": ("ray", -1),
+    "rider": ("rider", 2),
+    "runway": ("runway", 3),
+    "seal": ("seal", -1),
+    "shrew": ("shrew", 1),
+    "sign": ("sign", 1),
+    "skunk": ("skunk", 1),
+    "stage": ("stage", 2),
+    "step": ("step", 3),
+    "table": ("table", 1),
+    "tiger": ("tiger", 1),
+    "toilet": ("toilet", 1),
+    "traffic_sign": ("street_sign", 0),
+    "turtle": ("turtle", 1),
+    "tvmonitor": ("tv_monitor", 0),
+    "upper_clothes": ("top", 9),
+    "van": ("van", -1),
+    "washer": ("washer", 2),
+    "water": ("water", 1),
+    "whale": ("whale", 1),
+}
+
 
 def class_to_wnid(name: str, offset_fallback: int):
     from ..hierarchy.wnid import FakeSynset, synset_to_wnid, wordnet_available
@@ -51,7 +118,10 @@ def class_to_wnid(name: str, offset_fallback: int):
 
     key = name.strip().lower().replace(" ", "_").replace("-", "_")
     try:
-        if key in DISAMBIGUATION:
+        if key in REFERENCE_SYNSET_INDEX:
+            word, index = REFERENCE_SYNSET_INDEX[key]
+            synset = wn.synsets(word, pos="n")[index]
+        elif key in DISAMBIGUATION:
             synset = wn.synset(DISAMBIGUATION[key])
         else:
             synsets = wn.synsets(key, pos="n")

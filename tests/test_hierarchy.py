@@ -203,3 +203,29 @@ def test_vis_leaf_images(tmp_path, synthetic_tree):
     )
     html = open(out).read()
     assert html.count("data:image/png;base64,") == 3
+
+
+def test_wnids_cli_sense_map_matches_reference():
+    """The (query word, synset index) sense map in nbdt-wnids covers exactly
+    the reference's hardcoded_mapping entries (bin/nbdt-wnids:69-128),
+    normalized to the CLI's underscore key form."""
+    import os
+    import re
+
+    ref_path = "/root/reference/nbdt/bin/nbdt-wnids"
+    if not os.path.exists(ref_path):
+        import pytest
+        pytest.skip("reference repo not mounted")
+    from nbdt_tpu.bin.nbdt_wnids import REFERENCE_SYNSET_INDEX
+
+    src = open(ref_path).read()
+    block = src.split("hardcoded_mapping = {")[1].split("\n}")[0]
+    entries = re.findall(
+        r'"([^"]+)":\s*wn\.synsets\("([^"]+)",\s*pos=wn\.NOUN\)\[(-?\d+)\]',
+        block,
+    )
+    assert entries, "failed to parse reference map"
+    want = {
+        key.replace("-", "_"): (word, int(idx)) for key, word, idx in entries
+    }
+    assert REFERENCE_SYNSET_INDEX == want
