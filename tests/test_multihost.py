@@ -59,7 +59,23 @@ tr = Trainer(cfg, module, variables, tl, vl, tree=tree, mesh=mesh)
 stats = tr.train_epoch(0)
 acc = tr.evaluate(0, checkpoint=False)
 assert 0 <= acc <= 100
-print(f"RESULT {pid} loss={stats['loss']:.6f}", flush=True)
+
+# Mesh checkpoint/resume: save on every host (per-host dir), restore into a
+# fresh Trainer, and run another sharded step — Trainer.load must re-place
+# the restored host arrays on the mesh for the donated step to accept them.
+path = tr.save(epoch=1, acc=float(acc))
+tr2 = Trainer(cfg, module, variables, tl, vl, tree=tree, mesh=mesh)
+tr2.load(path)
+import numpy as np
+np.testing.assert_array_equal(
+    np.asarray(tr.params["linear"]["kernel"]),
+    np.asarray(tr2.params["linear"]["kernel"]),
+)
+stats2 = tr2.train_epoch(0)
+assert np.isfinite(stats2["loss"])
+
+print(f"RESULT {pid} loss={stats['loss']:.6f} resumed={stats2['loss']:.6f}",
+      flush=True)
 """
 
 
@@ -90,7 +106,8 @@ def test_two_process_mesh_train_step(tmp_path):
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
-                _, pid, kv = line.split()
+                parts = line.split()
+                pid, kv = parts[1], parts[2]
                 losses[pid] = float(kv.split("=")[1])
     assert set(losses) == {"0", "1"}, outs
     # Gradients are psummed over the global batch: the replicated loss must
