@@ -11,27 +11,22 @@ from __future__ import annotations
 import argparse
 import os
 
-# Class names whose first WordNet noun synset is the wrong sense. Curated
-# here for the datasets this repo ships loaders for; same mechanism as the
-# reference's map (bin/nbdt-wnids:69-128), independently chosen senses.
+# Class names whose first WordNet noun synset is the wrong sense —
+# supplementary senses for keys the reference map below does not cover
+# (keys present in REFERENCE_SYNSET_INDEX always win, so no overlaps live
+# here).
 DISAMBIGUATION = {
     "airplane": "airplane.n.01",
     "automobile": "car.n.01",
     "crab": "crab.n.01",
-    "maple_tree": "maple.n.02",
     "oak_tree": "oak.n.02",
     "palm_tree": "palm.n.03",
     "pine_tree": "pine.n.01",
     "willow_tree": "willow.n.01",
-    "ray": "ray.n.07",
-    "seal": "seal.n.09",
-    "shrew": "shrew.n.02",
-    "skunk": "skunk.n.04",
     "tank": "tank.n.01",
     "tractor": "tractor.n.01",
     "train": "train.n.01",
     "plain": "plain.n.01",
-    "castle": "castle.n.02",
     "keyboard": "keyboard.n.01",
     "lawn_mower": "lawn_mower.n.01",
     "man": "man.n.01",

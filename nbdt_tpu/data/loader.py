@@ -90,7 +90,10 @@ class DataLoader:
         return batch, labels
 
     def _shard_size(self) -> int:
-        return len(range(self.shard_id, self._n, self.num_shards))
+        # Every shard is padded to the same ceil(n / num_shards) length (see
+        # __iter__) so all hosts run the same number of batches — unequal
+        # counts would deadlock the SPMD step on the shorter hosts.
+        return (self._n + self.num_shards - 1) // self.num_shards
 
     def __len__(self):
         n = self._shard_size()
@@ -104,6 +107,12 @@ class DataLoader:
         if self.shuffle:
             self.rng.shuffle(order)
         if self.num_shards > 1:
+            # DistributedSampler semantics: wrap the order so every shard
+            # has exactly ceil(n / num_shards) samples — equal batch counts
+            # on every host (a global collective per step requires it).
+            total = self._shard_size() * self.num_shards
+            if total > len(order):
+                order = np.concatenate([order, order[: total - len(order)]])
             order = order[self.shard_id :: self.num_shards]
         n = len(order)
         bs = self.batch_size

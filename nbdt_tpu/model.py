@@ -88,16 +88,18 @@ class NBDT:
                 model, arch, dataset, hierarchy, checkpoint_path
             )
 
-        if classes is None and dataset:
+        if classes is None and dataset and tree is None:
             # Human-readable class names from the registry when known
             # (reference bin/nbdt passes DATASET_TO_CLASSES; plain wnid
-            # dummies otherwise).
+            # dummies otherwise). Skipped entirely when a tree is supplied —
+            # it already carries its classes, and an unregistered dataset
+            # name must not be forced through the registry.
             from .tree import dataset_to_dummy_classes
-            from .utils import DATASET_TO_CLASSES
+            from .utils import DATASET_TO_CLASSES, DATASET_TO_NUM_CLASSES
 
-            classes = DATASET_TO_CLASSES.get(
-                dataset, dataset_to_dummy_classes(dataset)
-            )
+            classes = DATASET_TO_CLASSES.get(dataset)
+            if classes is None and dataset in DATASET_TO_NUM_CLASSES:
+                classes = dataset_to_dummy_classes(dataset)
         if tree is None:
             try:
                 tree = Tree(

@@ -136,7 +136,8 @@ def head_constants_bytes(hc: HeadConstants) -> int:
 def _pick_chunk(Np: int, K: int, Cp: int) -> int:
     """Largest node-chunk that divides Np, stays a multiple of 128 (lane
     width), and whose streamed constants fit the per-chunk budget:
-    M2T chunk [Cp, K, cn] + U chunk [K, cn, Cp], f32."""
+    M2T chunk [Cp, K, cn] + U chunk [K, cn, Cp], f32. Falls back to the
+    minimum 128-node chunk; _vmem_bytes then shrinks the batch tile."""
     for q in range(1, Np // 128 + 1):
         if Np % q:
             continue
@@ -146,6 +147,24 @@ def _pick_chunk(Np: int, K: int, Cp: int) -> int:
         if 2 * Cp * K * cn * 4 <= VMEM_CHUNK_BUDGET:
             return cn
     return 128
+
+
+def _vmem_bytes(tb: int, D: int, Cp: int, K: int, cn: int,
+                want_aux: bool) -> int:
+    """Estimated scoped-VMEM footprint of one kernel invocation: inputs and
+    outputs are double-buffered by the Pallas pipeline; the classifier
+    scratch and the nl/logp working set are single. All f32 except feats/W
+    (counted at 4B as the worst case)."""
+    ins = tb * D + D * Cp + Cp + Cp * K * cn + K * cn * Cp + K * cn
+    outs = tb * Cp + ((tb * Cp + tb * K * cn) if want_aux else 0)
+    scratch = tb * Cp
+    work = 3 * tb * K * cn  # nl / masked / logp live simultaneously
+    return (2 * ins + 2 * outs + scratch + work) * 4
+
+
+# Target for the whole kernel's scoped VMEM (the hardware limit is ~16 MiB;
+# leave headroom for Mosaic's own temporaries).
+VMEM_TOTAL_BUDGET = 13 * 1024 * 1024
 
 
 def _head_kernel(feats_ref, w_ref, b_ref, m2t_ref, u_ref, mask_ref,
@@ -219,10 +238,18 @@ def fused_soft_head(
     N, C = hc.num_nodes, hc.num_classes
 
     cn = _pick_chunk(Np, K, Cp)
-    if Np // cn > 1:
-        # Wide tree: the chunk stream + double-buffered W dominate VMEM;
-        # shrink the batch tile so everything stays under the scoped limit.
-        block_b = min(block_b, 128)
+    # Shrink the batch tile until the whole invocation fits scoped VMEM
+    # (wide-C trees stream chunks; wide-K trees inflate the slab working
+    # set — both are paid for out of the batch tile).
+    while (block_b > 8
+           and _vmem_bytes(block_b, D, Cp, K, cn, want_aux) > VMEM_TOTAL_BUDGET):
+        block_b //= 2
+    if _vmem_bytes(block_b, D, Cp, K, cn, want_aux) > VMEM_TOTAL_BUDGET:
+        raise ValueError(
+            f"fused_soft_head cannot fit VMEM even at batch tile {block_b} "
+            f"(D={D}, Cp={Cp}, K={K}, cn={cn}); use the jnp rules path "
+            "(nbdt_tpu.rules.soft_forward) for this tree."
+        )
     Bp = _round_up(B, min(block_b, _round_up(B, 8)))
     Bp = _round_up(Bp, 8)
     if Bp != B:

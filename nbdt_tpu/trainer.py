@@ -130,6 +130,13 @@ def tree_term_fn(
             logits, targets, jt, criterion=criterion
         )
     if loss_name == "HardTreeSupLoss":
+        # Same loud contract as losses.HardTreeSupLoss: the vectorized
+        # all-pairs collapse encodes per-pair CE, so a custom criterion
+        # cannot be routed through the hard tree term.
+        assert criterion is cross_entropy, (
+            "HardTreeSupLoss's tree term supports only the default "
+            f"cross-entropy criterion; got {criterion!r}"
+        )
         return lambda logits, targets: hard_tree_sup_loss(
             logits, targets, jt, tree_supervision_weight=tsw
         )
@@ -403,6 +410,19 @@ class Trainer:
                 if self.inverse_transform is not None:
                     imgs = np.asarray(self.inverse_transform(imgs))
                 self.analyzer.update_batch(logits_np, y_np, imgs)
+        if self.mesh is not None and jax.process_count() > 1:
+            # All-reduce the metric across hosts: each process scored only
+            # its local shard, and the acc > best_acc checkpoint decision
+            # must be identical everywhere (a per-host decision would save
+            # at different epochs — and deadlock orbax, whose save is a
+            # cross-process collective).
+            from jax.experimental import multihost_utils
+
+            counts = multihost_utils.process_allgather(
+                np.array([metric.correct, metric.total], np.int64)
+            )
+            metric.correct = int(counts[:, 0].sum())
+            metric.total = int(counts[:, 1].sum())
         acc = metric.report() * 100.0
         if self.analyzer is not None:
             self.analyzer.end_test(epoch)

@@ -231,3 +231,27 @@ def test_chained_wrappers_compose_flat_maps():
         got_imgs, np.stack([w[0] for w in want]).astype(np.float32)
     )
     assert set(got_labels) == {1, 3}
+
+
+def test_sharded_loader_equal_batch_counts_uneven():
+    """Uneven datasets: every shard is padded (sample-wrap) to the same
+    length so all hosts run the same number of batches — unequal counts
+    would deadlock the multihost SPMD step."""
+    ds = _StreamingDataset(1023)
+    loaders = [DataLoader(ds, 256, shuffle=False, drop_last=True,
+                          num_shards=2, shard_id=i) for i in range(2)]
+    assert len(loaders[0]) == len(loaders[1]) == 2
+    assert [sum(1 for _ in dl) for dl in loaders] == [2, 2]
+
+    pads = [DataLoader(ds, 256, shuffle=False, drop_last=False, pad_last=True,
+                       num_shards=2, shard_id=i) for i in range(2)]
+    assert len(pads[0]) == len(pads[1]) == 2
+    counts = [sum(1 for _ in dl) for dl in pads]
+    assert counts == [2, 2]
+    # and together the shards still cover every sample exactly once (plus
+    # the wrap pad)
+    seen = []
+    for dl in pads:
+        for x, y, valid in dl:
+            seen.extend(np.asarray(y)[valid].tolist())
+    assert len(seen) == 1024  # 1023 + 1 wrapped

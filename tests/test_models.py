@@ -340,3 +340,20 @@ def test_model_urls_key_parity():
                 "https://github.com/alvinwan/neural-backed-decision-trees"
                 "/releases/download/0.0.1/ckpt-"
             )
+
+
+def test_nbdt_with_explicit_tree_and_unregistered_dataset(synthetic_tree):
+    """An explicit tree must not force the dataset name through the class
+    registry — custom dataset names are valid when the tree carries its own
+    classes."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.model import SoftNBDT
+
+    model = SoftNBDT(
+        dataset="MyCustomDataset",
+        model=lambda x: jnp.zeros((x.shape[0], 7), jnp.float32),
+        arch="ResNet18",
+        tree=synthetic_tree,
+    )
+    assert model.tree is synthetic_tree

@@ -135,3 +135,48 @@ def test_fused_head_bf16_classifier(synthetic_tree, rng):
     np.testing.assert_array_equal(
         np.asarray(leaf).argmax(1), np.asarray(ref).argmax(1)
     )
+
+
+def test_fused_head_wide_k_tree_fits_vmem(cifar10_reference_tree=None):
+    """Wide-K trees (TinyImagenet200 wordnet has nodes with 13 children)
+    must size the batch tile down so the kernel's scoped-VMEM estimate stays
+    under budget, and still match the jnp rules."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.ops.soft_traversal import (
+        VMEM_TOTAL_BUDGET,
+        _pick_chunk,
+        _vmem_bytes,
+        fused_soft_head,
+        prepare_head_constants,
+    )
+    from nbdt_tpu.rules import soft_forward, to_device_tree
+    from nbdt_tpu.tree import Tree
+    from nbdt_tpu.utils import hierarchy_to_path_graph
+    import os
+
+    path = hierarchy_to_path_graph("TinyImagenet200", "wordnet")
+    assert os.path.exists(path)
+    tree = Tree("TinyImagenet200", path_graph=path)
+    ta = tree.arrays
+    K = ta.membership.shape[1]
+    assert K >= 8  # genuinely wide
+
+    D = 64
+    rng = np.random.RandomState(0)
+    W = rng.randn(D, ta.num_classes).astype(np.float32)
+    feats = rng.randn(8, D).astype(np.float32)
+    hc = prepare_head_constants(ta, W)
+    Kp, Np = hc.mask.shape
+    cn = _pick_chunk(Np, Kp, hc.W.shape[1])
+    # some batch tile in [8, 512] must fit the scoped-VMEM budget
+    tb = 512
+    while tb > 8 and _vmem_bytes(tb, D, hc.W.shape[1], Kp, cn, True) \
+            > VMEM_TOTAL_BUDGET:
+        tb //= 2
+    assert _vmem_bytes(tb, D, hc.W.shape[1], Kp, cn, True) <= VMEM_TOTAL_BUDGET
+
+    leaf, logits, logp = fused_soft_head(jnp.asarray(feats), hc, block_b=512)
+    ref = soft_forward(jnp.asarray(feats @ W), to_device_tree(ta))
+    np.testing.assert_allclose(np.exp(np.asarray(leaf)), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)

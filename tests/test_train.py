@@ -347,3 +347,17 @@ def test_orbax_checkpoint_roundtrip(tiny_setup, synthetic_tree, tmp_path):
         np.asarray(tr.params["linear"]["kernel"]),
         np.asarray(tr2.params["linear"]["kernel"]),
     )
+
+
+def test_hard_loss_rejects_custom_criterion_in_step(synthetic_tree):
+    """make_train_step must fail loudly when a custom criterion is paired
+    with HardTreeSupLoss (its vectorized tree term encodes per-pair CE)."""
+    import optax
+
+    from nbdt_tpu.rules import to_device_tree
+    from nbdt_tpu.trainer import make_train_step
+
+    jt = to_device_tree(synthetic_tree.arrays)
+    with pytest.raises(AssertionError, match="cross-entropy"):
+        make_train_step(None, optax.sgd(0.1), "HardTreeSupLoss", jt,
+                        criterion_fn=lambda a, b: 0.0)
