@@ -35,6 +35,10 @@ from .resnet import (
     ResNet50,
     ResNet101,
     ResNet152,
+    resnet18,
+    resnet34,
+    resnet50,
+    resnet101,
 )
 from .vgg import VGG, vgg11_bn, vgg16_bn
 from .vit import ViT, vit_b16, vit_s16
@@ -47,6 +51,12 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "ResNet50": ResNet50,
     "ResNet101": ResNet101,
     "ResNet152": ResNet152,
+    # torchvision-style ImageNet ResNets (reference reaches these through
+    # its torchvision star-import; lowercase names are torchvision's)
+    "resnet18": resnet18,
+    "resnet34": resnet34,
+    "resnet50": resnet50,
+    "resnet101": resnet101,
     "wrn28_10": wrn28_10,
     "wrn28_10_cifar10": wrn28_10_cifar10,
     "wrn28_10_cifar100": wrn28_10_cifar100,

@@ -69,11 +69,13 @@ def _resnet_key_to_path(key: str) -> Optional[Tuple[str, Tuple[str, ...], str]]:
         coll, leaf = _BN_PARTS[m.group(4)]
         block = f"layer{m.group(1)}_{m.group(2)}"
         return (coll, (block, m.group(3)), "bn-" + leaf)
-    m = re.fullmatch(r"layer(\d+)\.(\d+)\.shortcut\.0\.weight", key)
+    # Both the reference's `shortcut.{0,1}` and torchvision's
+    # `downsample.{0,1}` namings map onto the same Flax modules.
+    m = re.fullmatch(r"layer(\d+)\.(\d+)\.(?:shortcut|downsample)\.0\.weight", key)
     if m:
         block = f"layer{m.group(1)}_{m.group(2)}"
         return ("params", (block, "shortcut_conv"), "conv")
-    m = re.fullmatch(r"layer(\d+)\.(\d+)\.shortcut\.1\.(\w+)", key)
+    m = re.fullmatch(r"layer(\d+)\.(\d+)\.(?:shortcut|downsample)\.1\.(\w+)", key)
     if m and m.group(3) in _BN_PARTS:
         coll, leaf = _BN_PARTS[m.group(3)]
         block = f"layer{m.group(1)}_{m.group(2)}"

@@ -121,12 +121,18 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """CIFAR ResNet (reference resnet.py:115-157): features() + linear head."""
+    """CIFAR ResNet (reference resnet.py:115-157): features() + linear head.
+
+    ``imagenet_stem=True`` swaps the 3x3 stem for the torchvision ImageNet
+    stem (7x7 stride-2 conv + 3x3 stride-2 maxpool) — the architecture the
+    reference reaches through its torchvision star-import (lowercase
+    ``resnet18`` etc., used by the ClassyVision ImageNet example)."""
 
     block: Callable
     num_blocks: Sequence[int]
     num_classes: int = 10
     expansion: int = 1
+    imagenet_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -141,9 +147,16 @@ class ResNet(nn.Module):
         conv = partial(nn.Conv, dtype=self.dtype)
 
         x = x.astype(self.dtype)
-        out = conv(64, (3, 3), padding=1, use_bias=False, name="conv1")(x)
-        out = norm(name="bn1")(out)
-        out = nn.relu(out)
+        if self.imagenet_stem:
+            out = conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                       name="conv1")(x)
+            out = norm(name="bn1")(out)
+            out = nn.relu(out)
+            out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        else:
+            out = conv(64, (3, 3), padding=1, use_bias=False, name="conv1")(x)
+            out = norm(name="bn1")(out)
+            out = nn.relu(out)
 
         in_planes = 64
         for stage, (planes, blocks, stride) in enumerate(
@@ -195,3 +208,27 @@ def ResNet101(num_classes: int = 10, dtype=jnp.float32) -> ResNet:
 
 def ResNet152(num_classes: int = 10, dtype=jnp.float32) -> ResNet:
     return ResNet(Bottleneck, (3, 8, 36, 3), num_classes, expansion=4, dtype=dtype)
+
+
+# torchvision-style ImageNet ResNets (lowercase names, matching the
+# reference's torchvision star-import; same layer naming, so the .pth
+# converter handles them — torchvision's stem conv1/bn1 and `fc` head map
+# onto conv1/bn1/linear).
+def resnet18(num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
+    return ResNet(BasicBlock, (2, 2, 2, 2), num_classes, expansion=1,
+                  imagenet_stem=True, dtype=dtype)
+
+
+def resnet34(num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
+    return ResNet(BasicBlock, (3, 4, 6, 3), num_classes, expansion=1,
+                  imagenet_stem=True, dtype=dtype)
+
+
+def resnet50(num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 4, 6, 3), num_classes, expansion=4,
+                  imagenet_stem=True, dtype=dtype)
+
+
+def resnet101(num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 4, 23, 3), num_classes, expansion=4,
+                  imagenet_stem=True, dtype=dtype)

@@ -78,3 +78,54 @@ def test_zoo_backbones_forward(arch, size, feat):
     assert feats.shape == (2, feat)
     centers = get_centers_from_flax_params(variables["params"])
     assert centers is not None and centers.shape == (10, feat)
+
+
+def test_imagenet_stem_resnet_shapes():
+    """Lowercase torchvision-style ResNets: 7x7/2 stem + maxpool halves the
+    feature map twice before stage 1 (vs the CIFAR 3x3 stem)."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model("resnet18", 13, (64, 64, 3))
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    out = module.apply(variables, x, train=False)
+    assert out.shape == (2, 13)
+    feats = module.apply(variables, x, train=False, features_only=True)
+    assert feats.shape == (2, 512)
+    # ImageNet stem: conv1 is 7x7; CIFAR stem stays 3x3
+    assert variables["params"]["conv1"]["kernel"].shape[:2] == (7, 7)
+
+    _, cifar_vars = init_model("ResNet18", 13, (64, 64, 3))
+    assert cifar_vars["params"]["conv1"]["kernel"].shape[:2] == (3, 3)
+
+
+def test_torchvision_downsample_keys_convert():
+    """torchvision names residual shortcuts `downsample.{0,1}` and the head
+    `fc` — the converter maps both onto the Flax modules."""
+    import numpy as np
+
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.models.convert import (
+        flax_to_torch_state_dict,
+        torch_state_dict_to_flax,
+    )
+
+    module, variables = init_model("resnet18", 13, (64, 64, 3), seed=2)
+    sd = flax_to_torch_state_dict(variables, arch="resnet18")
+    # rename to torchvision conventions
+    tv = {}
+    for k, v in sd.items():
+        k = k.replace("shortcut.0", "downsample.0")
+        k = k.replace("shortcut.1", "downsample.1")
+        k = k.replace("linear.", "fc.")
+        tv[k] = v
+    back = torch_state_dict_to_flax(tv, arch="resnet18")
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["layer2_0"]["shortcut_conv"]["kernel"]),
+        np.asarray(back["params"]["layer2_0"]["shortcut_conv"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["linear"]["kernel"]),
+        np.asarray(back["params"]["linear"]["kernel"]),
+    )
