@@ -45,6 +45,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None,
                         help="local .pth/.msgpack checkpoint (offline use)")
     parser.add_argument("--hard", action="store_true", help="use hard rules")
+    parser.add_argument("--random-init", action="store_true",
+                        help="skip the pretrained checkpoint and run a "
+                             "randomly initialized backbone (offline demo "
+                             "of the decision-path machinery)")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -53,23 +57,37 @@ def main(argv=None):
     maybe_set_platform(args.platform)
 
     from ..model import HardNBDT, SoftNBDT
-    from ..models import get_model
+    from ..models import get_model, init_model
     from ..utils import DATASET_TO_NUM_CLASSES, load_image_from_path
 
     num_classes = DATASET_TO_NUM_CLASSES[args.dataset]
-    module = get_model(args.arch, num_classes)
 
     cls = HardNBDT if args.hard else SoftNBDT
-    model = cls(
-        dataset=args.dataset,
-        model=module,
-        arch=args.arch,
-        hierarchy=args.hierarchy,
-        path_graph=args.path_graph,
-        path_wnids=args.path_wnids,
-        pretrained=True,  # resolves to checkpoint_path when given, else URL cache
-        checkpoint_path=args.checkpoint,
-    )
+    if args.random_init:
+        module, variables = init_model(
+            args.arch, num_classes, (32, 32, 3), seed=0
+        )
+        model = cls(
+            dataset=args.dataset,
+            model=module,
+            arch=args.arch,
+            hierarchy=args.hierarchy,
+            path_graph=args.path_graph,
+            path_wnids=args.path_wnids,
+            params=variables,
+        )
+    else:
+        module = get_model(args.arch, num_classes)
+        model = cls(
+            dataset=args.dataset,
+            model=module,
+            arch=args.arch,
+            hierarchy=args.hierarchy,
+            path_graph=args.path_graph,
+            path_wnids=args.path_wnids,
+            pretrained=True,  # checkpoint_path when given, else URL cache
+            checkpoint_path=args.checkpoint,
+        )
 
     image = load_image_from_path(args.image)
     x = preprocess(image)
