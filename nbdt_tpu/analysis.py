@@ -179,7 +179,7 @@ class DecisionRules(Noop):
     def _update_batch(self, outputs, targets):
         outputs = np.asarray(self.rules.forward(outputs))
         self.metric.forward(outputs, targets)
-        return round(self.metric.report(), 4) * 100
+        return self.accuracy
 
     @property
     def accuracy(self) -> float:
@@ -448,8 +448,7 @@ class Superclass(DecisionRules):
         predicted, targets = self.forward(outputs, targets)
         self.total += len(predicted)
         self.correct += int((predicted == targets).sum())
-        accuracy = round(self.correct / (float(self.total) or 1), 4) * 100
-        return f"{self.name}: {accuracy}%"
+        return f"{self.name}: {self.accuracy}%"
 
     def end_test(self, epoch):
         print(f"[{self.name}] Accuracy: {self.accuracy}%, {self.correct}/{self.total}")

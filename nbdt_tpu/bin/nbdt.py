@@ -51,6 +51,8 @@ def main(argv=None):
                              "of the decision-path machinery)")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = parser.parse_args(argv)
+    if args.random_init and args.checkpoint:
+        parser.error("--random-init and --checkpoint are mutually exclusive")
 
     from ..utils import maybe_set_platform
 

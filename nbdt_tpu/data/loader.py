@@ -96,30 +96,40 @@ class DataLoader:
         return (self._n + self.num_shards - 1) // self.num_shards
 
     def __len__(self):
+        # The iterator yields static shapes only: the final partial batch is
+        # yielded iff pad_last (padded + masked), else dropped — len() must
+        # agree in both modes.
         n = self._shard_size()
-        if self.drop_last and not self.pad_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        if self.pad_last:
+            return (n + self.batch_size - 1) // self.batch_size
+        return n // self.batch_size
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Yields (images, labels, valid_mask) float32/int32/bool batches."""
         order = np.arange(self._n)
         if self.shuffle:
             self.rng.shuffle(order)
+        real = np.ones(len(order), dtype=bool)
         if self.num_shards > 1:
             # DistributedSampler semantics: wrap the order so every shard
             # has exactly ceil(n / num_shards) samples — equal batch counts
             # on every host (a global collective per step requires it).
+            # Wrapped duplicates are flagged not-real so eval metrics (which
+            # are all-reduced across hosts) never double-count a sample.
             total = self._shard_size() * self.num_shards
             if total > len(order):
                 order = np.concatenate([order, order[: total - len(order)]])
+                real = np.concatenate(
+                    [real, np.zeros(total - self._n, dtype=bool)]
+                )
             order = order[self.shard_id :: self.num_shards]
+            real = real[self.shard_id :: self.num_shards]
         n = len(order)
         bs = self.batch_size
         stop = n - (n % bs) if (self.drop_last and not self.pad_last) else n
         for start in range(0, stop, bs):
             idx = order[start : start + bs]
-            valid = np.ones(len(idx), dtype=bool)
+            valid = real[start : start + bs].copy()
             if len(idx) < bs:
                 if not self.pad_last:
                     break

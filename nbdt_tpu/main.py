@@ -172,11 +172,11 @@ def main(argv=None):
             process_id=args.process_id,
         )
         args.mesh = True
-        import jax as _jax
+        import jax
 
         print(
-            f"==> multihost: process {_jax.process_index()}/{n_procs}, "
-            f"{len(_jax.devices())} global devices"
+            f"==> multihost: process {jax.process_index()}/{n_procs}, "
+            f"{len(jax.devices())} global devices"
         )
 
     from .data import DataLoader, PrefetchLoader

@@ -48,7 +48,10 @@ def initialize_multihost(
             process_id=process_id,
         )
     except RuntimeError as e:  # already initialized -> idempotent
-        if "already initialized" not in str(e).lower():
+        msg = str(e).lower()
+        # jax phrases this "distributed.initialize should only be called
+        # once"; older versions said "already initialized".
+        if "already initialized" not in msg and "only be called once" not in msg:
             raise
     return jax.process_count()
 

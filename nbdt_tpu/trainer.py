@@ -384,6 +384,17 @@ class Trainer:
         last["time"] = time.time() - t0
         return last
 
+    @staticmethod
+    def _allreduce_counts(holder) -> None:
+        """Sum a counter object's (correct, total) across hosts in place."""
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(
+            np.array([holder.correct, holder.total], np.int64)
+        )
+        holder.correct = int(counts[:, 0].sum())
+        holder.total = int(counts[:, 1].sum())
+
     def evaluate(self, epoch: int = 0, checkpoint: bool = True) -> float:
         from . import metrics
 
@@ -411,18 +422,22 @@ class Trainer:
                     imgs = np.asarray(self.inverse_transform(imgs))
                 self.analyzer.update_batch(logits_np, y_np, imgs)
         if self.mesh is not None and jax.process_count() > 1:
-            # All-reduce the metric across hosts: each process scored only
-            # its local shard, and the acc > best_acc checkpoint decision
-            # must be identical everywhere (a per-host decision would save
-            # at different epochs — and deadlock orbax, whose save is a
-            # cross-process collective).
-            from jax.experimental import multihost_utils
-
-            counts = multihost_utils.process_allgather(
-                np.array([metric.correct, metric.total], np.int64)
-            )
-            metric.correct = int(counts[:, 0].sum())
-            metric.total = int(counts[:, 1].sum())
+            # All-reduce metrics across hosts: each process scored only its
+            # local shard, and the acc > best_acc checkpoint decision must
+            # be identical everywhere (a per-host decision would save at
+            # different epochs — and deadlock orbax, whose save is a
+            # cross-process collective). Analyzer counters get the same
+            # treatment — they ARE the metric in zero-shot runs.
+            self._allreduce_counts(metric)
+            an = self.analyzer
+            if an is not None:
+                # Own counters first (Superclass scores via self.correct/
+                # total and leaves its inherited .metric untouched), else
+                # the analyzer's TopK metric (DecisionRules family).
+                if hasattr(an, "correct") and hasattr(an, "total"):
+                    self._allreduce_counts(an)
+                elif hasattr(getattr(an, "metric", None), "correct"):
+                    self._allreduce_counts(an.metric)
         acc = metric.report() * 100.0
         if self.analyzer is not None:
             self.analyzer.end_test(epoch)

@@ -248,10 +248,11 @@ def test_sharded_loader_equal_batch_counts_uneven():
     assert len(pads[0]) == len(pads[1]) == 2
     counts = [sum(1 for _ in dl) for dl in pads]
     assert counts == [2, 2]
-    # and together the shards still cover every sample exactly once (plus
-    # the wrap pad)
+    # and together the shards cover every sample exactly once: the wrapped
+    # duplicate is yielded (equal shapes) but masked invalid so all-reduced
+    # eval metrics never double-count
     seen = []
     for dl in pads:
         for x, y, valid in dl:
             seen.extend(np.asarray(y)[valid].tolist())
-    assert len(seen) == 1024  # 1023 + 1 wrapped
+    assert len(seen) == 1023
