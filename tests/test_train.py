@@ -361,3 +361,27 @@ def test_hard_loss_rejects_custom_criterion_in_step(synthetic_tree):
     with pytest.raises(AssertionError, match="cross-entropy"):
         make_train_step(None, optax.sgd(0.1), "HardTreeSupLoss", jt,
                         criterion_fn=lambda a, b: 0.0)
+
+
+def test_trainer_memorizes_small_set(synthetic_tree):
+    """End-to-end learning sanity: the jitted SoftTreeSupLoss step +
+    SGD/MultiStepLR memorizes 64 fixed samples to ~100% train accuracy
+    (no augmentation — random-noise images aren't memorable through random
+    crops). Guards against silent gradient/optimizer/schedule breakage that
+    loss-decreases-one-epoch tests can't see."""
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3), seed=0)
+    ds = SyntheticDataset(num_classes=7, size=64, image_size=16)
+    tl = DataLoader(ds, 16, shuffle=True, transform=ds.transform_val())
+    vl = DataLoader(ds, 16, transform=ds.transform_val(), drop_last=False,
+                    pad_last=True)
+    cfg = TrainConfig(batch_size=16, epochs=15, loss="SoftTreeSupLoss",
+                      lr=0.05, checkpoint_dir="/tmp/ckpt-memorize")
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    for e in range(15):
+        tr.train_epoch(e)
+    acc = tr.evaluate(0, checkpoint=False)
+    assert acc >= 95.0, f"failed to memorize: {acc:.1f}%"
