@@ -62,6 +62,19 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--vis-leaf-images", action="store_true",
                         help="embed one sample image per leaf from the "
                              "dataset (skipped when data is not on disk)")
+    parser.add_argument("--vis-image-resize-factor", type=float, default=1.0,
+                        help="scale factor for embedded leaf images")
+    parser.add_argument("--vis-color-nodes", nargs="*", default=(),
+                        help="extra wnids/labels drawn in the highlight color")
+    parser.add_argument("--vis-node-conf", nargs=3, action="append",
+                        default=[], metavar=("WNID", "KEY", "VALUE"),
+                        help="per-node template override (dot-notation key)")
+    parser.add_argument("--vis-scale", type=float, default=1.0,
+                        help="scale the whole rendering")
+    parser.add_argument("--vis-root-y", default="null",
+                        help="pin the root's vertical position (px)")
+    parser.add_argument("--vis-colormap", default="colormap_annotated.png",
+                        help="legend image embedded when the file exists")
     parser.add_argument("--data-root", default="./data")
     parser.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                         help="force JAX backend (default: environment's)")
@@ -153,6 +166,12 @@ def main(argv=None):
             above_dy=args.vis_above_dy,
             below_dy=args.vis_below_dy,
             wnid_to_image=wnid_to_image,
+            image_resize_factor=args.vis_image_resize_factor,
+            color_nodes=args.vis_color_nodes,
+            node_conf=args.vis_node_conf,
+            scale=args.vis_scale,
+            root_y=args.vis_root_y,
+            colormap=args.vis_colormap,
         )
 
 

@@ -35,8 +35,11 @@ def build_tree(
     fake_sublabels: bool = False,
     hide: Sequence[str] = (),
     force_labels_left: Sequence[str] = (),
+    color_nodes: Sequence[str] = (),
     wnid_to_image=None,
     image_size: int = 32,
+    image_resize_factor: float = 1.0,
+    node_conf: Sequence = (),
 ) -> dict:
     """Recursive d3-style dict: {name, id, children, color[, prob, sublabel]}
     (reference hierarchy.py:221-303).
@@ -50,7 +53,13 @@ def build_tree(
       (reference --vis-force-labels-left).
     - ``wnid_to_image``: leaf wnid -> image (HWC uint8 array or PIL image),
       embedded base64 into the HTML (reference --vis-leaf-images,
-      hierarchy.py:255-303).
+      hierarchy.py:255-303); ``image_resize_factor`` scales the rendered
+      size (reference --vis-image-resize-factor).
+    - ``color_nodes``: extra wnids/labels rendered in the highlight color
+      (reference --vis-color-nodes, hierarchy.py:435).
+    - ``node_conf``: (wnid, key, value) triplets that override any field of
+      the matching node dict, dot-notation keys supported (reference
+      --vis-node-conf / generate_node_conf, hierarchy.py:481-490).
     """
     hidden = set(hide)
     highlight = set()
@@ -71,6 +80,18 @@ def build_tree(
             cur = preds[0] if preds else None
 
     force_left = set(force_labels_left)
+    colored = set(color_nodes)
+    conf: Dict[str, list] = {}
+    for entry in node_conf:
+        wnid, key, value = entry
+        conf.setdefault(wnid, []).append((key, value))
+
+    def set_dot_notation(obj: dict, key: str, value) -> None:
+        """a.b.c-style key setter (reference hierarchy.py:199-210)."""
+        parts = key.split(".")
+        for p in parts[:-1]:
+            obj = obj.setdefault(p, {})
+        obj[parts[-1]] = value
 
     def rec(wnid: str) -> Optional[dict]:
         if wnid in hidden:
@@ -78,7 +99,8 @@ def build_tree(
         label = G.label(wnid) or wnid
         is_leaf = not G.succ(wnid)
         node_color = (
-            highlight_color if wnid in highlight
+            highlight_color
+            if wnid in highlight or wnid in colored or label in colored
             else (leaf_color if is_leaf and color_leaves else color)
         )
         node = {"name": label, "id": wnid, "color": node_color}
@@ -90,9 +112,12 @@ def build_tree(
             node["prob"] = round(float(edge_probs[wnid]), 4)
         if wnid_to_image is not None and is_leaf and wnid in wnid_to_image:
             node["image"] = _image_data_uri(wnid_to_image[wnid], image_size)
+            node["imageSize"] = int(round(image_size * image_resize_factor))
         children = [c for c in (rec(ch) for ch in G.succ(wnid)) if c]
         if children:
             node["children"] = children
+        for key, value in conf.get(wnid, []):
+            set_dot_notation(node, key, value)
         return node
 
     out = rec(root)
@@ -139,7 +164,7 @@ _TEMPLATE = """<!DOCTYPE html>
 </style>
 </head>
 <body>
-<header><strong>CONFIG_TITLE</strong> &mdash; nbdt-tpu hierarchy</header>
+<header><strong>CONFIG_TITLE</strong> &mdash; nbdt-tpu hierarchy CONFIG_COLORMAP</header>
 <svg id="tree"></svg>
 <script>
 const data = CONFIG_TREE_DATA;
@@ -171,12 +196,21 @@ const state = {nextY: MARGIN + (OPTS.marginTop || 0)};
 layout(data, 0, state);
 const nodes = [], links = [];
 flatten(data, nodes, links);
+if (OPTS.rootY !== null && OPTS.rootY !== undefined) {
+  const shift = OPTS.rootY - data.y;
+  for (const n of nodes) n.y += shift;
+  state.nextY += Math.max(shift, 0);
+}
+const S = OPTS.scale || 1;
 const svg = document.getElementById('tree');
 const width = OPTS.width || (Math.max(...nodes.map(n => n.x)) + NODE_W + MARGIN);
 const height = OPTS.height || (state.nextY + MARGIN);
-svg.setAttribute('width', width);
-svg.setAttribute('height', height);
+svg.setAttribute('width', width * S);
+svg.setAttribute('height', height * S);
 const NS = 'http://www.w3.org/2000/svg';
+const rootG = document.createElementNS(NS, 'g');
+rootG.setAttribute('transform', `scale(${S})`);
+svg.appendChild(rootG);
 
 for (const [a, b] of links) {
   const p = document.createElementNS(NS, 'path');
@@ -187,7 +221,7 @@ for (const [a, b] of links) {
     p.setAttribute('d', `M${a.x},${a.y} C${mx},${a.y} ${mx},${b.y} ${b.x},${b.y}`);
   }
   p.setAttribute('class', 'link');
-  svg.appendChild(p);
+  rootG.appendChild(p);
 }
 for (const n of nodes) {
   const g = document.createElementNS(NS, 'g');
@@ -216,14 +250,15 @@ for (const n of nodes) {
     dy += 11;
   }
   if (n.image !== undefined) {
+    const sz = n.imageSize || 32;
     const im = document.createElementNS(NS, 'image');
     im.setAttribute('href', n.image);
-    im.setAttribute('x', left ? -9 - 36 : 9);
+    im.setAttribute('x', left ? -9 - sz - 4 : 9);
     im.setAttribute('y', dy);
-    im.setAttribute('width', 32);
-    im.setAttribute('height', 32);
+    im.setAttribute('width', sz);
+    im.setAttribute('height', sz);
     g.appendChild(im);
-    dy += 36;
+    dy += sz + 4;
   }
   if (n.prob !== undefined) {
     const pr = document.createElementNS(NS, 'text');
@@ -234,7 +269,7 @@ for (const n of nodes) {
     pr.textContent = (n.prob * 100).toFixed(2) + '%';
     g.appendChild(pr);
   }
-  svg.appendChild(g);
+  rootG.appendChild(g);
 }
 </script>
 </body>
@@ -261,8 +296,17 @@ def generate_vis(
     margin_left: int = 0,
     above_dy: int = 0,
     below_dy: int = 0,
+    scale: float = 1.0,
+    root_y: Optional[float] = None,
+    colormap: Optional[str] = None,
 ) -> str:
-    """Template substitution (reference hierarchy.py:344-411 mechanism)."""
+    """Template substitution (reference hierarchy.py:344-411 mechanism).
+
+    ``scale`` scales the whole rendering (reference --vis-scale, distinct
+    from zoom which also spreads the layout); ``root_y`` pins the root's
+    vertical position (reference --vis-root-y); ``colormap`` embeds a
+    legend image in the header when the file exists (reference
+    --vis-colormap, hierarchy.py:395-401)."""
     bg, fg = _THEMES.get(theme, _THEMES["regular"])
     opts = {
         "zoom": zoom,
@@ -272,13 +316,21 @@ def generate_vis(
         "marginTop": margin_top,
         "marginLeft": margin_left,
         "dy": above_dy + below_dy,
+        "scale": scale,
+        "rootY": None if root_y in (None, "null") else float(root_y),
     }
+    colormap_html = ""
+    if isinstance(colormap, str) and os.path.exists(colormap):
+        colormap_html = (
+            f'<img src="{colormap}" style="height: 32px; float: right;">'
+        )
     html = (
         _TEMPLATE.replace("CONFIG_TITLE", title)
         .replace("CONFIG_TREE_DATA", json.dumps(tree_data))
         .replace("CONFIG_OPTS", json.dumps(opts))
         .replace("CONFIG_BG", bg)
         .replace("CONFIG_FG", fg)
+        .replace("CONFIG_COLORMAP", colormap_html)
     )
     makeparentdirs(path_html)
     with open(path_html, "w") as f:
@@ -299,7 +351,10 @@ def generate_hierarchy_vis_from(
     fake_sublabels: bool = False,
     color_leaves: bool = True,
     force_labels_left: Sequence[str] = (),
+    color_nodes: Sequence[str] = (),
+    node_conf: Sequence = (),
     wnid_to_image=None,
+    image_resize_factor: float = 1.0,
     **vis_kwargs,
 ) -> str:
     """Programmatic entry point (reference hierarchy.py:513-604)."""
@@ -313,7 +368,10 @@ def generate_hierarchy_vis_from(
         fake_sublabels=fake_sublabels,
         hide=hide,
         force_labels_left=force_labels_left,
+        color_nodes=color_nodes,
+        node_conf=node_conf,
         wnid_to_image=wnid_to_image,
+        image_resize_factor=image_resize_factor,
     )
     title = f"{dataset or 'hierarchy'}"
     return generate_vis(tree_data, path_html, title=title, **vis_kwargs)

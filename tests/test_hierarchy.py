@@ -229,3 +229,45 @@ def test_wnids_cli_sense_map_matches_reference():
         key.replace("-", "_"): (word, int(idx)) for key, word, idx in entries
     }
     assert REFERENCE_SYNSET_INDEX == want
+
+
+def test_vis_full_flag_family(tmp_path):
+    """The remaining --vis-* customizations: color-nodes, node-conf
+    (dot-notation), scale, root-y, image resize factor (reference
+    hierarchy.py:481-604)."""
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+    from nbdt_tpu.hierarchy.vis import build_tree, generate_hierarchy_vis_from
+    from nbdt_tpu.hierarchy.digraph import get_root
+
+    wnids = [f"f{i:08d}" for i in range(6)]
+    centers = np.random.RandomState(0).randn(6, 8).astype(np.float32)
+    G = build_induced_graph(wnids, centers)
+    root = get_root(G)
+
+    tree = build_tree(
+        G, root,
+        color_nodes=[wnids[2]],
+        node_conf=[(wnids[1], "name", "renamed"), (wnids[1], "meta.k", 3)],
+    )
+
+    def find(node, wnid):
+        if node["id"] == wnid:
+            return node
+        for c in node.get("children", ()):
+            got = find(c, wnid)
+            if got:
+                return got
+
+    assert find(tree, wnids[2])["color"] == "#d62728"  # highlight color
+    overridden = find(tree, wnids[1])
+    assert overridden["name"] == "renamed"
+    assert overridden["meta"] == {"k": 3}
+
+    out = generate_hierarchy_vis_from(
+        G, dataset="toy", path_html=str(tmp_path / "t.html"),
+        scale=2.0, root_y=120, color_nodes=[wnids[2]],
+        node_conf=[(wnids[1], "name", "renamed")],
+    )
+    html = open(out).read()
+    assert '"scale": 2.0' in html and '"rootY": 120' in html
+    assert "renamed" in html
