@@ -368,13 +368,16 @@ class Superclass(DecisionRules):
     """Zero-shot superclass eval (reference analysis.py:430-535): map both
     train-classes and test-classes onto user-provided hypernym wnids via
     WordNet hypernym closure, mask unmapped logits, compare in superclass
-    space. Requires the WordNet corpus unless ``mapping`` is given."""
+    space. Requires the WordNet corpus unless ``mapping`` (a dict
+    ``leaf wnid -> superclass index``, applied to both class spaces) is
+    given."""
 
     name = "Superclass"
     Rules = SoftRules
 
     def __init__(self, *args, superclass_wnids, dataset_test=None, Rules=None,
-                 tree=None, tree_test=None, metric=None, **kwargs):
+                 tree=None, tree_test=None, metric=None, mapping=None,
+                 **kwargs):
         super().__init__(*args, tree=tree, Rules=Rules or self.Rules, **kwargs)
         rules_cls = Rules or self.Rules
         if tree_test is not None or dataset_test is not None:
@@ -384,19 +387,39 @@ class Superclass(DecisionRules):
         self.superclass_wnids = list(superclass_wnids)
         self.total = self.correct = 0
 
-        self.mapping_target, self.new_to_old_classes_target = self.build_mapping(
-            self.rules_test.tree.wnids_leaves, self.superclass_wnids
+        def resolve(wnids_leaves):
+            if mapping is not None:
+                new_to_old = defaultdict(list)
+                arr = []
+                for old_index, w in enumerate(wnids_leaves):
+                    value = int(mapping.get(w, -1))
+                    arr.append(value)
+                    new_to_old[value].append(old_index)
+                return np.array(arr), new_to_old
+            return self.build_mapping(wnids_leaves, self.superclass_wnids)
+
+        self.mapping_target, self.new_to_old_classes_target = resolve(
+            self.rules_test.tree.wnids_leaves
         )
-        self.mapping_pred, self.new_to_old_classes_pred = self.build_mapping(
-            self.rules.tree.wnids_leaves, self.superclass_wnids
+        self.mapping_pred, self.new_to_old_classes_pred = resolve(
+            self.rules.tree.wnids_leaves
         )
         mapped = [
             self.classes[i] for i in np.flatnonzero(self.mapping_pred >= 0)
             if i < len(self.classes)
         ]
-        Colors.cyan(
-            f"==> Mapped {len(mapped)} classes to your superclasses: {mapped}"
-        )
+        if not mapped:
+            Colors.red(
+                "WARNING: 0 classes mapped to your superclasses — every "
+                "sample will be skipped and accuracy will read 0%. Offline "
+                "(no WordNet corpus), pass mapping= explicitly or use leaf "
+                "wnids as superclass wnids."
+            )
+        else:
+            Colors.cyan(
+                f"==> Mapped {len(mapped)} classes to your superclasses: "
+                f"{mapped}"
+            )
 
     @staticmethod
     def build_mapping(dataset_wnids, superclass_wnids):
@@ -480,11 +503,16 @@ class SuperclassNBDT(Superclass):
 
 class VisualizeDecisionNode(ScoreSave):
     """Save samples most similar to a chosen decision node
-    (reference analysis.py:562-589): score = the node's child probability
-    toward the chosen wnid."""
+    (reference analysis.py:562-589): score = the node's RAW child logit
+    toward the chosen wnid (the reference ranks by logit, not softmax
+    probability — per-sample softmax re-normalization would reorder the
+    cross-sample ranking). When ``superclass_wnids`` is given, samples whose
+    label maps to no superclass score 0 (the reference inherits this zeroing
+    from Superclass)."""
 
     def __init__(self, *args, visualize_decision_node_wnid, tree=None,
                  Rules=SoftRules, dataset=None, path_graph=None, path_wnids=None,
+                 superclass_wnids=None,
                  path="out/vdn-{epoch}-{time}/image-{suffix}-{i}-{score:.2e}.jpg",
                  **kwargs):
         super().__init__(*args, path=path, **kwargs)
@@ -492,6 +520,11 @@ class VisualizeDecisionNode(ScoreSave):
             tree=tree, dataset=dataset, path_graph=path_graph, path_wnids=path_wnids
         )
         self.wnid = visualize_decision_node_wnid
+        self.mapping_target = None
+        if superclass_wnids:
+            self.mapping_target, _ = Superclass.build_mapping(
+                self.rules.tree.wnids_leaves, list(superclass_wnids)
+            )
 
     def score(self, outputs, targets, images):
         tree = self.rules.tree
@@ -501,7 +534,11 @@ class VisualizeDecisionNode(ScoreSave):
         wnid_to_outputs = self.rules.forward_nodes(outputs)
         out = wnid_to_outputs[parent.wnid]
         child_index = parent.wnid_to_child_index(self.wnid)
-        return list(out["probs"][:, child_index])
+        similarity = np.asarray(out["logits"][:, child_index], dtype=float)
+        if self.mapping_target is not None and targets is not None:
+            mapped = self.mapping_target[np.asarray(targets)]
+            similarity = np.where(mapped >= 0, similarity, 0.0)
+        return list(similarity)
 
 
 class VisualizeHierarchyInference(Noop):

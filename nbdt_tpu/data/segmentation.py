@@ -324,9 +324,15 @@ class ADE20K(SegDatasetBase):
 
     def __init__(self, root="./data", split="training", base_size=512,
                  crop_size=512, **kw):
-        super().__init__(root, split if split != "training" else "train",
+        # Accept both the sibling datasets' split names (train/val) and
+        # ADE20K's own odgt names (training/validation); normalize each way.
+        canonical = {"training": "train", "validation": "val"}
+        odgt_name = {"train": "training", "val": "validation"}
+        super().__init__(root, canonical.get(split, split),
                          base_size, crop_size, **kw)
-        odgt = os.path.join(root, "ADE20K", f"{split}.odgt")
+        odgt = os.path.join(
+            root, "ADE20K", f"{odgt_name.get(split, split)}.odgt"
+        )
         if not os.path.exists(odgt):
             raise FileNotFoundError(
                 f"ADE20K odgt list not found: {odgt}. Expected layout: "

@@ -81,12 +81,14 @@ def get_classifier_from_flax_params(params):
     None). Looks for a top-level module named ``linear``/``fc``/
     ``classifier``/``head``/``output`` (the Flax analogue of the reference's
     MODEL_FC_KEYS probe, graph.py:386-397)."""
+    from collections.abc import Mapping
+
     if params is None:
         return None, None
-    tree = params.get("params", params) if isinstance(params, dict) else params
+    tree = params.get("params", params) if isinstance(params, Mapping) else params
     for name in ("linear", "fc", "classifier", "head", "output"):
-        sub = tree.get(name) if isinstance(tree, dict) else None
-        if isinstance(sub, dict) and "kernel" in sub:
+        sub = tree.get(name) if isinstance(tree, Mapping) else None
+        if isinstance(sub, Mapping) and "kernel" in sub:
             bias = sub.get("bias")
             return (np.asarray(sub["kernel"]),
                     None if bias is None else np.asarray(bias))
@@ -160,7 +162,6 @@ def generate_graph_fname(
     if method == "random" and seed != 0:
         fname += f"-seed{seed}"
     if method == "induced":
-        assert checkpoint or arch, "Induced hierarchy needs either `arch` or `checkpoint`"
         if induced_linkage != "ward" and induced_linkage is not None:
             fname += f"-linkage{induced_linkage}"
         if induced_affinity != "euclidean" and induced_affinity is not None:
@@ -173,8 +174,13 @@ def generate_graph_fname(
             else:
                 checkpoint_fname = checkpoint_stem
         else:
+            # The reference requires arch/checkpoint; this repo also accepts
+            # direct centers/params/state_dict, in which case the default
+            # name is the plain "graph-induced" (matching the shipped
+            # default hierarchy assets).
             checkpoint_fname = arch
-        fname += f"-{checkpoint_fname}"
+        if checkpoint_fname:
+            fname += f"-{checkpoint_fname}"
     if method in ("random", "induced") and branching_factor != 2:
         fname += f"-branch{branching_factor}"
     if extra > 0:
@@ -316,7 +322,10 @@ def generate_hierarchy(
         no_prune=no_prune,
         fname=fname,
         path=path,
-        multi_path=single_path,
+        # The reference forwards single_path only into the wordnet BUILDER
+        # (hierarchy.py:79) — its fname codec never sees it, so
+        # "graph-wordnet.json" is the name either way. "-multi" is reserved
+        # for an explicit multi_path=True (graph.py CLI flag).
         induced_linkage=induced_linkage,
         induced_affinity=induced_affinity,
         checkpoint=checkpoint,

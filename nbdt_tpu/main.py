@@ -137,11 +137,15 @@ def build_datasets(args):
 def build_analyzer(args, tree, testset):
     if args.analysis is None:
         return None
+    import inspect
+
     from . import analysis
 
     cls = getattr(analysis, args.analysis)
     kwargs = {}
-    if issubclass(cls, analysis.DecisionRules):
+    # Every rules-driven analyzer (DecisionRules family, the NBDT-entropy
+    # scorers, hierarchy-inference visualizer) takes the live tree.
+    if "tree" in inspect.signature(cls.__init__).parameters:
         kwargs["tree"] = tree
     if args.superclass_wnids is not None and issubclass(cls, analysis.Superclass):
         kwargs["superclass_wnids"] = args.superclass_wnids

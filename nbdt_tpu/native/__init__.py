@@ -57,7 +57,15 @@ def _load() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("NBDT_NO_NATIVE"):
             return None
-        path = _LIB_PATH if os.path.exists(_LIB_PATH) else _compile()
+        # Reuse the cached .so only when it is newer than the source —
+        # otherwise recompile (stale kernels would silently run old code;
+        # the .so is a local build artifact, never distributed, so ISA
+        # mismatch from -march=native is confined to this machine).
+        fresh = (
+            os.path.exists(_LIB_PATH)
+            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
+        )
+        path = _LIB_PATH if fresh else _compile()
         if path is None:
             return None
         try:

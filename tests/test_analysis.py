@@ -137,3 +137,60 @@ def test_analyzer_receives_unnormalized_images(synthetic_tree):
     # un-normalized pixel space: [0, 1], not standardized (which would have
     # negative values and ~unit variance around 0)
     assert imgs.min() >= -1e-5 and imgs.max() <= 1 + 1e-5
+
+
+def test_build_analyzer_constructs_every_advertised_analyzer(synthetic_tree):
+    """Every name in analysis.names must be constructible through the CLI's
+    build_analyzer — rules-driven analyzers receive the live tree."""
+    import argparse
+
+    from nbdt_tpu import analysis
+    from nbdt_tpu.main import build_analyzer
+
+    class DS:
+        classes = synthetic_tree.classes
+
+    for name in analysis.names:
+        args = argparse.Namespace(
+            analysis=name,
+            superclass_wnids=[synthetic_tree.wnids_leaves[0]],
+            visualize_decision_node_wnid=synthetic_tree.wnids_leaves[0],
+            dataset="CIFAR10", dataset_test=None,
+        )
+        an = build_analyzer(args, synthetic_tree, DS())
+        assert an is not None, name
+
+
+def test_superclass_explicit_mapping(synthetic_tree, rng):
+    """mapping= drives zero-shot eval without the WordNet corpus."""
+    from nbdt_tpu.analysis import Superclass
+
+    wnids = synthetic_tree.wnids_leaves
+    mapping = {wnids[0]: 0, wnids[1]: 0, wnids[2]: 1}
+    an = Superclass(tree=synthetic_tree, superclass_wnids=["a", "b"],
+                    mapping=mapping)
+    an.start_test(0)
+    x = rng.randn(16, len(wnids)).astype(np.float32)
+    y = rng.randint(0, 3, 16)
+    an.update_batch(x, y)
+    assert an.total == int((y != 2).sum() + (y == 2).sum() * (mapping.get(wnids[2], -1) >= 0))
+    assert 0 <= an.accuracy <= 100
+
+
+def test_visualize_decision_node_scores_by_logit(synthetic_tree, rng):
+    """VisualizeDecisionNode ranks by the RAW node child logit (reference
+    analysis.py:586), not softmax probability."""
+    from nbdt_tpu.analysis import VisualizeDecisionNode
+
+    tree = synthetic_tree
+    # pick a non-root inner or leaf node with a parent
+    wnid = tree.wnids_leaves[0]
+    an = VisualizeDecisionNode(tree=tree, visualize_decision_node_wnid=wnid)
+    x = rng.randn(8, len(tree.classes)).astype(np.float32)
+    scores = an.score(x, None, None)
+
+    node = tree.wnid_to_node[wnid]
+    parent = node.parent
+    out = an.rules.forward_nodes(x)[parent.wnid]
+    k = parent.wnid_to_child_index(wnid)
+    np.testing.assert_allclose(scores, out["logits"][:, k], rtol=1e-6)

@@ -271,3 +271,31 @@ def test_vis_full_flag_family(tmp_path):
     html = open(out).read()
     assert '"scale": 2.0' in html and '"rootY": 120' in html
     assert "renamed" in html
+
+
+def test_generate_hierarchy_from_centers_only(tmp_path):
+    """generate_hierarchy accepts direct centers without arch/checkpoint and
+    writes the plain graph-induced.json name (the shipped default asset's
+    name)."""
+    from nbdt_tpu.hierarchy.generate import generate_hierarchy
+
+    wnids = [f"f{i:08d}" for i in range(6)]
+    centers = np.random.RandomState(0).randn(6, 8).astype(np.float32)
+    import os
+
+    path = generate_hierarchy(
+        dataset="CIFAR10", method="induced", centers=centers, wnids=wnids,
+        hierarchies_root=str(tmp_path),
+    )
+    assert path.endswith("graph-induced.json")
+    assert os.path.exists(path)
+
+
+def test_wordnet_single_path_keeps_reference_fname(tmp_path, monkeypatch):
+    """single_path only alters the builder; the written filename stays
+    graph-wordnet.json exactly like the reference pipeline (its codec never
+    sees single_path)."""
+    from nbdt_tpu.hierarchy.generate import generate_graph_fname
+
+    assert generate_graph_fname(method="wordnet", single_path=True) == "graph-wordnet"
+    assert generate_graph_fname(method="wordnet", multi_path=True) == "graph-wordnet-multi"

@@ -151,3 +151,33 @@ def test_cityscapes_label_mapping(tmp_path):
     assert set(np.unique(mask)) <= {0, 13, ds.ignore_label}
     x, y = ds[0]
     assert x.shape == (32, 32, 3) and y.shape == (32, 32)
+
+
+def test_ade20k_accepts_both_split_namings(tmp_path):
+    """ADE20K normalizes split names both ways: 'train'/'val' (sibling
+    datasets' convention, used by the example trainer) and ADE20K's own
+    'training'/'validation' odgt naming."""
+    import json
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from nbdt_tpu.data.segmentation import ADE20K
+
+    root = tmp_path
+    d = root / "ADE20K"
+    d.mkdir()
+    img = d / "img.jpg"
+    seg = d / "seg.png"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img)
+    Image.fromarray(np.ones((8, 8), np.uint8)).save(seg)
+    entry = {"fpath_img": "ADE20K/img.jpg", "fpath_segm": "ADE20K/seg.png"}
+    for odgt in ("training.odgt", "validation.odgt"):
+        (d / odgt).write_text(json.dumps(entry) + "\n")
+
+    for split in ("train", "training", "val", "validation"):
+        ds = ADE20K(root=str(root), split=split, base_size=8, crop_size=8)
+        assert len(ds) == 1
+        _, mask = ds._load_pair(0)
+        assert mask.min() == 0  # 1-indexed labels shifted to 0-indexed
