@@ -150,16 +150,18 @@ def _pick_chunk(Np: int, K: int, Cp: int) -> int:
 
 
 def _vmem_bytes(tb: int, D: int, Cp: int, K: int, cn: int,
-                want_aux: bool) -> int:
+                want_aux: bool, w_itemsize: int = 4) -> int:
     """Estimated scoped-VMEM footprint of one kernel invocation: inputs and
     outputs are double-buffered by the Pallas pipeline; the classifier
-    scratch and the nl/logp working set are single. All f32 except feats/W
-    (counted at 4B as the worst case)."""
-    ins = tb * D + D * Cp + Cp + Cp * K * cn + K * cn * Cp + K * cn
-    outs = tb * Cp + ((tb * Cp + tb * K * cn) if want_aux else 0)
-    scratch = tb * Cp
-    work = 3 * tb * K * cn  # nl / masked / logp live simultaneously
-    return (2 * ins + 2 * outs + scratch + work) * 4
+    scratch and the nl/logp working set are single. feats/W are counted at
+    the classifier dtype's width (bf16 halves them — decisive for wide
+    feature dims like EfficientNet's 1280); everything else is f32."""
+    ins_w = (tb * D + D * Cp) * w_itemsize
+    ins_f32 = (Cp + Cp * K * cn + K * cn * Cp + K * cn) * 4
+    outs = (tb * Cp + ((tb * Cp + tb * K * cn) if want_aux else 0)) * 4
+    scratch = tb * Cp * 4
+    work = 3 * tb * K * cn * 4  # nl / masked / logp live simultaneously
+    return 2 * (ins_w + ins_f32) + 2 * outs + scratch + work
 
 
 # Target for the whole kernel's scoped VMEM (the hardware limit is ~16 MiB;
@@ -241,10 +243,12 @@ def fused_soft_head(
     # Shrink the batch tile until the whole invocation fits scoped VMEM
     # (wide-C trees stream chunks; wide-K trees inflate the slab working
     # set — both are paid for out of the batch tile).
+    w_itemsize = jnp.dtype(hc.W.dtype).itemsize
     while (block_b > 8
-           and _vmem_bytes(block_b, D, Cp, K, cn, want_aux) > VMEM_TOTAL_BUDGET):
+           and _vmem_bytes(block_b, D, Cp, K, cn, want_aux, w_itemsize)
+           > VMEM_TOTAL_BUDGET):
         block_b //= 2
-    if _vmem_bytes(block_b, D, Cp, K, cn, want_aux) > VMEM_TOTAL_BUDGET:
+    if _vmem_bytes(block_b, D, Cp, K, cn, want_aux, w_itemsize) > VMEM_TOTAL_BUDGET:
         raise ValueError(
             f"fused_soft_head cannot fit VMEM even at batch tile {block_b} "
             f"(D={D}, Cp={Cp}, K={K}, cn={cn}); use the jnp rules path "
