@@ -55,6 +55,7 @@ SHIPPED_HIERARCHIES = [
 
 WNID_DATASETS = [
     "ADE20K",
+    "Cityscapes",
     "CIFAR10",
     "CIFAR100",
     "Imagenet1000",
@@ -90,6 +91,8 @@ def test_all_wnid_lists_packaged_and_sized():
         ("TinyImagenet200", "wordnet"),
         ("Imagenet1000", "induced"),
         ("ADE20K", "induced-HRNet-w48"),
+        ("Cityscapes", "induced-HRNet-w48"),
+        ("Cityscapes", "induced-HRNet-w18-v1"),
         ("PascalContext", "induced-HRNet-w48-cls59"),
         ("LookIntoPerson", "induced-HRNet-w48-cls20"),
     ],
