@@ -467,3 +467,52 @@ def _enumerate_torch_keys(params, stats, arch):
                         for part in ("weight", "bias", "running_mean", "running_var"):
                             keys.append(f"{base}.{sub}.{part}")
     return keys
+
+
+def main(argv=None):
+    """Checkpoint conversion CLI.
+
+    torch -> flax:  python -m nbdt_tpu.models.convert ckpt.pth \
+                        --arch ResNet18 --out ckpt.msgpack
+    flax -> torch:  python -m nbdt_tpu.models.convert ckpt.msgpack \
+                        --arch ResNet18 --out ckpt.pth
+
+    The direction follows the output extension. Flax checkpoints are the
+    trainer's msgpack payloads ({"params", "batch_stats"}); torch
+    checkpoints are reference-style ({"net": state_dict} or a bare dict).
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("input")
+    parser.add_argument("--arch", required=True)
+    parser.add_argument("--out", required=True)
+    args = parser.parse_args(argv)
+
+    if args.out.endswith(".msgpack"):
+        from .utils import load_torch_checkpoint
+
+        variables = torch_state_dict_to_flax(
+            load_torch_checkpoint(args.input), arch=args.arch
+        )
+        import flax.serialization
+
+        with open(args.out, "wb") as f:
+            f.write(flax.serialization.to_bytes(variables))
+    elif args.out.endswith(".pth"):
+        import flax.serialization
+        import torch
+
+        with open(args.input, "rb") as f:
+            variables = flax.serialization.msgpack_restore(f.read())
+        sd = flax_to_torch_state_dict(variables, arch=args.arch)
+        torch.save({"net": {k: torch.from_numpy(np.ascontiguousarray(v))
+                            for k, v in sd.items()}}, args.out)
+    else:
+        parser.error("--out must end in .msgpack (torch->flax) or .pth "
+                     "(flax->torch)")
+    print(f"==> Wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -140,3 +140,40 @@ def test_spec_rejects_incomplete_and_leftover_keys():
     extra["rogue.weight"] = np.zeros(3, np.float32)
     with pytest.raises(AssertionError, match="Unmapped"):
         torch_state_dict_to_flax(extra, arch="vit_s16")
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """The conversion CLI round-trips torch .pth <-> flax .msgpack."""
+    import subprocess
+    import sys
+
+    import flax.serialization
+    import jax
+
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.models.convert import flax_to_torch_state_dict
+
+    module, variables = init_model("ResNet10", 5, (16, 16, 3), seed=9)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          flax_to_torch_state_dict(variables, arch="ResNet10").items()}
+    pth = tmp_path / "in.pth"
+    torch.save({"net": sd}, str(pth))
+
+    msgpack = tmp_path / "out.msgpack"
+    back_pth = tmp_path / "back.pth"
+    import os
+
+    env = dict(os.environ, NBDT_PLATFORM="cpu")
+    for args in (
+        [str(pth), "--arch", "ResNet10", "--out", str(msgpack)],
+        [str(msgpack), "--arch", "ResNet10", "--out", str(back_pth)],
+    ):
+        r = subprocess.run(
+            [sys.executable, "-m", "nbdt_tpu.models.convert", *args],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    final = torch.load(str(back_pth), map_location="cpu", weights_only=False)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(v.numpy(), final["net"][k].numpy(), err_msg=k)
