@@ -10,11 +10,14 @@ import numpy as np
 import pytest
 
 
-def test_zero_shot_superclass_eval_cli(tmp_path):
+@pytest.mark.parametrize("arch", ["ResNet10", "vit_s16"])
+def test_zero_shot_superclass_eval_cli(tmp_path, arch):
+    """Covers the ViT stretch config too (BASELINE #5: ViT backbone NBDT +
+    zero-shot unseen-class eval)."""
     from nbdt_tpu.main import main
 
     acc = main([
-        "--dataset", "CIFAR10", "--arch", "ResNet10", "--synthetic",
+        "--dataset", "CIFAR10", "--arch", arch, "--synthetic",
         "--loss", "CrossEntropyLoss", "--eval", "--batch-size", "16",
         "--exclude-labels", "3",
         "--disable-test-eval", "--analysis", "Superclass",
