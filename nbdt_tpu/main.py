@@ -147,7 +147,12 @@ def build_analyzer(args, tree, testset):
     # scorers, hierarchy-inference visualizer) takes the live tree.
     if "tree" in inspect.signature(cls.__init__).parameters:
         kwargs["tree"] = tree
-    if args.superclass_wnids is not None and issubclass(cls, analysis.Superclass):
+    if issubclass(cls, analysis.Superclass):
+        if args.superclass_wnids is None:
+            raise SystemExit(
+                f"--analysis {args.analysis} requires --superclass-wnids "
+                "(the hypernym wnids defining the superclass label space)"
+            )
         kwargs["superclass_wnids"] = args.superclass_wnids
         if args.dataset_test and args.dataset_test != args.dataset:
             kwargs["dataset_test"] = args.dataset_test
