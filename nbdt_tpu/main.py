@@ -333,14 +333,19 @@ def main(argv=None):
     if args.resume or args.path_resume:
         import os
 
-        path = args.path_resume or os.path.join(
-            args.checkpoint_dir, trainer.checkpoint_fname() + ".msgpack"
-        )
-        if os.path.exists(path):
+        # Prefer the rolling last-epoch checkpoint (preemption resume) over
+        # the best-accuracy one when both exist.
+        candidates = [args.path_resume] if args.path_resume else [
+            os.path.join(args.checkpoint_dir,
+                         trainer.checkpoint_fname() + suffix + ".msgpack")
+            for suffix in ("-last", "")
+        ]
+        path = next((p for p in candidates if p and os.path.exists(p)), None)
+        if path:
             trainer.load(path)
             Colors.green(f"==> Resumed from {path} (epoch {trainer.start_epoch})")
         else:
-            Colors.red(f"==> No checkpoint at {path}; starting fresh")
+            Colors.red(f"==> No checkpoint at {candidates[-1]}; starting fresh")
 
     if args.eval:
         if analyzer is not None:

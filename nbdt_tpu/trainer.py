@@ -61,6 +61,10 @@ class TrainConfig:
     seed: int = 0
     remat: bool = False  # jax.checkpoint the forward (trade FLOPs for HBM)
     checkpoint_backend: str = "msgpack"  # msgpack | orbax (sharding-aware)
+    # Preemption safety: write a rolling "<fname>-last" checkpoint every
+    # epoch so an interrupted run resumes from its latest state, not just
+    # the best-accuracy one (beyond the reference, which keeps only best).
+    save_last: bool = True
     # SoftTreeLoss schedule (reference loss.py:278-292)
     tree_start_epochs: int = 67
     tree_update_every_epochs: int = 10
@@ -452,6 +456,9 @@ class Trainer:
                 self.analyzer.start_epoch(epoch)
             stats = self.train_epoch(epoch)
             acc = self.evaluate(epoch)
+            if self.config.save_last:
+                # epoch+1: resuming from "-last" restarts AFTER this epoch.
+                self.save(epoch + 1, acc, suffix="-last")
             if self.analyzer is not None:
                 self.analyzer.end_epoch(epoch)
             if epoch % log_every == 0:
@@ -482,9 +489,14 @@ class Trainer:
             xent_weight_power=c.xent_weight_power,
         )
 
-    def save(self, epoch: int, acc: float) -> str:
+    def save(self, epoch: int, acc: float, suffix: str = "") -> str:
+        """Write a checkpoint; ``suffix`` distinguishes the rolling
+        last-epoch checkpoint ("-last", preemption resume) from the
+        best-accuracy one (reference main.py:299-307 keeps only the best)."""
         os.makedirs(self.config.checkpoint_dir, exist_ok=True)
-        path = os.path.join(self.config.checkpoint_dir, self.checkpoint_fname())
+        path = os.path.join(
+            self.config.checkpoint_dir, self.checkpoint_fname() + suffix
+        )
         payload = {
             "params": jax.device_get(self.params),
             "batch_stats": jax.device_get(self.batch_stats),

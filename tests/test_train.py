@@ -385,3 +385,29 @@ def test_trainer_memorizes_small_set(synthetic_tree):
         tr.train_epoch(e)
     acc = tr.evaluate(0, checkpoint=False)
     assert acc >= 95.0, f"failed to memorize: {acc:.1f}%"
+
+
+def test_rolling_last_checkpoint_resume(tiny_setup, synthetic_tree, tmp_path):
+    """Preemption safety: fit() writes a rolling '-last' checkpoint each
+    epoch; a fresh Trainer resumes from it at the NEXT epoch with identical
+    params (beyond the reference, which keeps only the best-acc ckpt)."""
+    import os
+
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables, tl, vl = tiny_setup
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=2, loss="CrossEntropyLoss", lr=0.01,
+                      checkpoint_dir=str(tmp_path))
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    tr.fit()
+    last = os.path.join(str(tmp_path), tr.checkpoint_fname() + "-last.msgpack")
+    assert os.path.exists(last)
+
+    tr2 = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    tr2.load(last)
+    assert tr2.start_epoch == 2  # continues AFTER the interrupted epoch
+    np.testing.assert_array_equal(
+        np.asarray(tr.params["linear"]["kernel"]),
+        np.asarray(tr2.params["linear"]["kernel"]),
+    )
