@@ -23,7 +23,14 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-prune", action="store_true")
     parser.add_argument("--fname", default="")
     parser.add_argument("--path", default="")
-    parser.add_argument("--single-path", action="store_true")
+    parser.add_argument("--single-path", action="store_true",
+                        help="allow each leaf multiple paths to the root "
+                             "(reference quirk: hierarchy.py:79 passes its "
+                             "single_path kwarg as the builder's multi_path)")
+    parser.add_argument("--multi-path", dest="single_path",
+                        action="store_true",
+                        help="alias for --single-path (the reference's CLI "
+                             "spelling, graph.py:48)")
     parser.add_argument("--induced-linkage", default="ward")
     parser.add_argument("--induced-affinity", default="euclidean")
     parser.add_argument("--checkpoint", default=None)
@@ -75,6 +82,10 @@ def get_parser() -> argparse.ArgumentParser:
                         help="pin the root's vertical position (px)")
     parser.add_argument("--vis-colormap", default="colormap_annotated.png",
                         help="legend image embedded when the file exists")
+    parser.add_argument("--color", default=None,
+                        choices=[None, "blue", "blue-green", "blue-minimal"],
+                        help="named highlight palette for colored nodes "
+                             "(reference graph.py:119-126)")
     parser.add_argument("--data-root", default="./data")
     parser.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                         help="force JAX backend (default: environment's)")
@@ -172,6 +183,7 @@ def main(argv=None):
             scale=args.vis_scale,
             root_y=args.vis_root_y,
             colormap=args.vis_colormap,
+            color=args.color,
         )
 
 

@@ -339,6 +339,18 @@ def generate_vis(
     return path_html
 
 
+# Named highlight palettes (reference graph.py:119-126 --color choices).
+# Each maps to (leaf_color, highlight_color): the reference uses the chosen
+# color for colored leaves, colored nodes, AND the root-path highlight
+# (hierarchy.py:414-467); "blue-green" keeps green leaves, "blue-minimal"
+# uses a lighter accent.
+_COLOR_PALETTES = {
+    "blue": ("#1f77b4", "#1f77b4"),
+    "blue-green": ("#2ca02c", "#1f77b4"),
+    "blue-minimal": ("#9ecae1", "#3182bd"),
+}
+
+
 def generate_hierarchy_vis_from(
     G: Digraph,
     dataset: Optional[str] = None,
@@ -355,10 +367,18 @@ def generate_hierarchy_vis_from(
     node_conf: Sequence = (),
     wnid_to_image=None,
     image_resize_factor: float = 1.0,
+    color: Optional[str] = None,
     **vis_kwargs,
 ) -> str:
-    """Programmatic entry point (reference hierarchy.py:513-604)."""
+    """Programmatic entry point (reference hierarchy.py:513-604).
+
+    ``color`` selects a named highlight palette (reference --color,
+    graph.py:119-126); None keeps this repo's default green/red scheme."""
     root = vis_root or get_root(G)
+    palette = {}
+    if color is not None:
+        leaf_color, highlight_color = _COLOR_PALETTES[color]
+        palette = {"leaf_color": leaf_color, "highlight_color": highlight_color}
     tree_data = build_tree(
         G, root,
         color_path_to=color_path_to,
@@ -372,6 +392,7 @@ def generate_hierarchy_vis_from(
         node_conf=node_conf,
         wnid_to_image=wnid_to_image,
         image_resize_factor=image_resize_factor,
+        **palette,
     )
     title = f"{dataset or 'hierarchy'}"
     return generate_vis(tree_data, path_html, title=title, **vis_kwargs)

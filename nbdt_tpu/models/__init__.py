@@ -39,6 +39,7 @@ from .resnet import (
     resnet34,
     resnet50,
     resnet101,
+    resnet152,
 )
 from .vgg import VGG, vgg11_bn, vgg16_bn
 from .vit import ViT, vit_b16, vit_s16
@@ -57,6 +58,7 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "resnet34": resnet34,
     "resnet50": resnet50,
     "resnet101": resnet101,
+    "resnet152": resnet152,
     "wrn28_10": wrn28_10,
     "wrn28_10_cifar10": wrn28_10_cifar10,
     "wrn28_10_cifar100": wrn28_10_cifar100,

@@ -232,3 +232,9 @@ def resnet50(num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
 def resnet101(num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
     return ResNet(Bottleneck, (3, 4, 23, 3), num_classes, expansion=4,
                   imagenet_stem=True, dtype=dtype)
+
+
+def resnet152(num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
+    """torchvision resnet152 (named in reference README's zoo examples)."""
+    return ResNet(Bottleneck, (3, 8, 36, 3), num_classes, expansion=4,
+                  imagenet_stem=True, dtype=dtype)

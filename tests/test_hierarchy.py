@@ -299,3 +299,33 @@ def test_wordnet_single_path_keeps_reference_fname(tmp_path, monkeypatch):
 
     assert generate_graph_fname(method="wordnet", single_path=True) == "graph-wordnet"
     assert generate_graph_fname(method="wordnet", multi_path=True) == "graph-wordnet-multi"
+
+
+def test_vis_named_color_palette(tmp_path):
+    """--color names a highlight palette (reference graph.py:119-126): the
+    chosen family recolors colored nodes and leaves."""
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+    from nbdt_tpu.hierarchy.vis import generate_hierarchy_vis_from
+
+    wnids = [f"f{i:08d}" for i in range(4)]
+    centers = np.random.RandomState(0).randn(4, 8).astype(np.float32)
+    G = build_induced_graph(wnids, centers)
+
+    out = generate_hierarchy_vis_from(
+        G, dataset="toy", path_html=str(tmp_path / "c.html"),
+        color="blue", color_nodes=[wnids[1]],
+    )
+    html = open(out).read()
+    assert "#1f77b4" in html and "#d62728" not in html
+
+
+def test_hierarchy_cli_multi_path_alias():
+    """--multi-path (the reference CLI spelling) parses onto the same
+    single_path destination as --single-path."""
+    from nbdt_tpu.bin.nbdt_hierarchy import get_parser
+
+    p = get_parser()
+    assert p.parse_args(["--multi-path"]).single_path
+    assert p.parse_args(["--single-path"]).single_path
+    assert not p.parse_args([]).single_path
+    assert p.parse_args(["--color", "blue-minimal"]).color == "blue-minimal"

@@ -129,3 +129,17 @@ def test_torchvision_downsample_keys_convert():
         np.asarray(variables["params"]["linear"]["kernel"]),
         np.asarray(back["params"]["linear"]["kernel"]),
     )
+
+
+def test_resnet152_constructible():
+    """resnet152 (reference README's torchvision zoo example) is registered
+    and produces the Bottleneck feature width."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import get_model_choices, init_model
+
+    assert "resnet152" in get_model_choices()
+    module, variables = init_model("resnet152", 7, (64, 64, 3))
+    feats = module.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False,
+                         features_only=True)
+    assert feats.shape == (1, 2048)
