@@ -1,0 +1,115 @@
+"""Serving export: ahead-of-time compiled, self-contained NBDT artifacts.
+
+The reference has no deployment story beyond a Flask demo that rebuilds the
+model on every request (reference examples/app/api.py:30-35). This module
+gives the TPU build a production path:
+
+- :func:`make_serving_fn` — the canonical serving forward (bf16 backbone on
+  the MXU, f32 node decisions, weights + tree constants closed over) as a
+  single jittable function.
+- :func:`export_serving` / :func:`load_serving` — serialize that forward to
+  a self-contained StableHLO artifact via ``jax.export`` with a SYMBOLIC
+  batch dimension, so one artifact serves any batch size on any listed
+  platform (default: cpu + tpu). The artifact embeds the weights and tree
+  constants; loading it needs no model code, no checkpoint, and no
+  hierarchy JSON — exactly what a serving fleet wants to ship.
+- :func:`aot_compile` — same function, compiled ahead of time for a fixed
+  batch size on the local backend (first-request latency leaves the
+  serving path).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = (
+    "make_serving_fn",
+    "export_serving",
+    "load_serving",
+    "aot_compile",
+)
+
+
+def make_serving_fn(
+    module,
+    variables,
+    tree,
+    bf16: bool = True,
+) -> Callable:
+    """Build the canonical serving forward: x [B,H,W,3] f32 -> leaf
+    log-probability distribution [B, C].
+
+    ``bf16`` runs the conv backbone in bfloat16 (the MXU fast path, ~2x
+    f32); the NBDT node decisions always compute in f32 (argmax parity —
+    see CLAUDE.md invariant). Weights and tree constants are closed over,
+    so the returned function is a pure function of ``x`` and can be
+    jitted, AOT-compiled, or exported as-is.
+    """
+    from .rules import soft_forward, to_device_tree
+
+    jt = to_device_tree(tree.arrays)
+
+    serving_module = module
+    if bf16 and hasattr(module, "dtype"):
+        serving_module = module.clone(dtype=jnp.bfloat16)
+
+    def fn(x):
+        if bf16:
+            x = x.astype(jnp.bfloat16)
+        logits = serving_module.apply(variables, x, train=False)
+        return soft_forward(logits.astype(jnp.float32), jt)
+
+    return fn
+
+
+def export_serving(
+    module,
+    variables,
+    tree,
+    path: str,
+    image_size: int,
+    bf16: bool = True,
+    platforms=("cpu", "tpu"),
+    batch_symbol: str = "b",
+) -> str:
+    """Export the serving forward to a self-contained StableHLO artifact.
+
+    The batch dimension is symbolic: the one artifact serves any batch
+    size. Returns ``path``. Load with :func:`load_serving` — no model
+    code, checkpoint, or hierarchy JSON needed at load time.
+    """
+    from jax import export as jexport
+
+    fn = make_serving_fn(module, variables, tree, bf16=bf16)
+    (b,) = jexport.symbolic_shape(batch_symbol)
+    spec = jax.ShapeDtypeStruct((b, image_size, image_size, 3), jnp.float32)
+    exported = jexport.export(jax.jit(fn), platforms=tuple(platforms))(spec)
+    data = exported.serialize()
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def load_serving(path: str) -> Callable:
+    """Load a :func:`export_serving` artifact into a callable x -> leaf
+    log-probs. The artifact is self-contained (weights + tree baked in)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return jax.jit(exported.call)
+
+
+def aot_compile(fn: Callable, batch: int, image_size: int,
+                dtype=jnp.float32):
+    """Ahead-of-time compile a serving fn for a fixed batch size on the
+    local backend; returns the compiled executable (callable)."""
+    spec = jax.ShapeDtypeStruct((batch, image_size, image_size, 3), dtype)
+    return jax.jit(fn).lower(spec).compile()

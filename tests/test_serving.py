@@ -1,0 +1,80 @@
+"""Serving export: StableHLO artifacts, symbolic batch, AOT compile."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    from nbdt_tpu.assets import get_dataset_wnids
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+    from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.tree import Tree
+
+    module, variables = init_model("ResNet10", 10, (16, 16, 3))
+    wnids = get_dataset_wnids("CIFAR10")
+    centers = get_centers_from_flax_params(variables["params"])
+    G = build_induced_graph(wnids, centers)
+    tree = Tree.from_graph(G, wnids, classes=[f"c{i}" for i in range(10)])
+    return module, variables, tree
+
+
+def test_export_roundtrip_symbolic_batch(flagship, tmp_path):
+    """One artifact serves multiple batch sizes; reloaded outputs match the
+    live function; the artifact is self-contained (no model code at load)."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.serving import export_serving, load_serving, make_serving_fn
+
+    module, variables, tree = flagship
+    path = str(tmp_path / "nbdt.stablehlo")
+    out = export_serving(module, variables, tree, path, image_size=16,
+                         bf16=False, platforms=("cpu",))
+    assert out == path
+    served = load_serving(path)
+    live = make_serving_fn(module, variables, tree, bf16=False)
+
+    rng = np.random.RandomState(0)
+    for batch in (1, 5):
+        x = jnp.asarray(rng.randn(batch, 16, 16, 3).astype(np.float32))
+        got = np.asarray(served(x))
+        want = np.asarray(live(x))
+        assert got.shape == (batch, 10)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_bf16_backbone_argmax_parity(flagship, tmp_path):
+    """The bf16 serving artifact keeps f32 node decisions: its argmax
+    matches the f32 path (the CLAUDE.md precision-split invariant)."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.serving import export_serving, load_serving, make_serving_fn
+
+    module, variables, tree = flagship
+    path = str(tmp_path / "nbdt-bf16.stablehlo")
+    export_serving(module, variables, tree, path, image_size=16,
+                   bf16=True, platforms=("cpu",))
+    served = load_serving(path)
+    f32 = make_serving_fn(module, variables, tree, bf16=False)
+
+    x = jnp.asarray(np.random.RandomState(1).randn(8, 16, 16, 3)
+                    .astype(np.float32))
+    got = np.asarray(served(x))
+    want = np.asarray(f32(x))
+    assert (got.argmax(1) == want.argmax(1)).all()
+
+
+def test_aot_compile_fixed_batch(flagship):
+    """AOT compile pins the batch size and runs without retracing."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.serving import aot_compile, make_serving_fn
+
+    module, variables, tree = flagship
+    fn = make_serving_fn(module, variables, tree, bf16=False)
+    compiled = aot_compile(fn, batch=4, image_size=16)
+    x = jnp.zeros((4, 16, 16, 3), jnp.float32)
+    out = np.asarray(compiled(x))
+    assert out.shape == (4, 10)
+    assert np.isfinite(out).all()
