@@ -32,6 +32,7 @@ __all__ = (
     "export_serving",
     "load_serving",
     "aot_compile",
+    "shard_serving",
 )
 
 
@@ -113,3 +114,19 @@ def aot_compile(fn: Callable, batch: int, image_size: int,
     local backend; returns the compiled executable (callable)."""
     spec = jax.ShapeDtypeStruct((batch, image_size, image_size, 3), dtype)
     return jax.jit(fn).lower(spec).compile()
+
+
+def shard_serving(fn: Callable, mesh) -> Callable:
+    """Data-parallel serving over a device mesh: the batch shards over the
+    mesh's ``dp`` axis, the closed-over weights/tree constants replicate,
+    and XLA keeps the whole forward collective-free (inference has no
+    gradient all-reduce). Batch size must be divisible by the dp extent.
+
+    This is the inference side of SURVEY §2.4's data-parallel story — the
+    reference's equivalent is DataParallel's scatter/gather
+    (main.py:160-161), here it is just a sharding annotation.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("dp"))
+    return jax.jit(fn, in_shardings=sh, out_shardings=sh)

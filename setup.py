@@ -30,6 +30,7 @@ setup(
             "nbdt-hierarchy=nbdt_tpu.bin.nbdt_hierarchy:main",
             "nbdt-wnids=nbdt_tpu.bin.nbdt_wnids:main",
             "nbdt-original=nbdt_tpu.bin.original:main",
+            "nbdt-export=nbdt_tpu.bin.nbdt_export:main",
         ]
     },
 )

@@ -78,3 +78,42 @@ def test_aot_compile_fixed_batch(flagship):
     out = np.asarray(compiled(x))
     assert out.shape == (4, 10)
     assert np.isfinite(out).all()
+
+
+def test_shard_serving_matches_unsharded(flagship):
+    """Data-parallel serving over the 8-device CPU mesh returns the same
+    leaf distribution as the single-device path."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbdt_tpu.parallel import make_mesh
+    from nbdt_tpu.serving import make_serving_fn, shard_serving
+
+    module, variables, tree = flagship
+    fn = make_serving_fn(module, variables, tree, bf16=False)
+    mesh = make_mesh(n_devices=8, tp=1)
+    sharded = shard_serving(fn, mesh)
+
+    x = jnp.asarray(np.random.RandomState(2).randn(16, 16, 16, 3)
+                    .astype(np.float32))
+    with mesh:
+        got = np.asarray(sharded(x))
+    want = np.asarray(jax.jit(fn)(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_cli_random_init(tmp_path):
+    """nbdt-export end-to-end: CLI -> artifact -> load -> serve."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.bin.nbdt_export import main
+    from nbdt_tpu.serving import load_serving
+
+    out = str(tmp_path / "cli.stablehlo")
+    main(["--arch", "ResNet10", "--dataset", "CIFAR10", "--random-init",
+          "--out", out, "--image-size", "16", "--f32",
+          "--platforms", "cpu"])
+    served = load_serving(out)
+    got = np.asarray(served(jnp.zeros((3, 16, 16, 3), jnp.float32)))
+    assert got.shape == (3, 10)
+    assert np.isfinite(got).all()
