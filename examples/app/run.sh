@@ -1,0 +1,4 @@
+#!/bin/sh
+# Launch the NBDT inference API (reference examples/app/run.sh uses uwsgi;
+# this build's api.py is a stdlib ThreadingHTTPServer — no uwsgi needed).
+exec python api.py --port 5000 "$@"
