@@ -8,7 +8,7 @@ names the reference uses keep CLI/checkpoint compatibility.
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +79,25 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "vgg11_bn": vgg11_bn,
     "vgg16_bn": vgg16_bn,
 }
+
+
+def register_model(name: str, ctor: Optional[Callable] = None) -> Callable:
+    """Register a custom backbone constructor (the reference's equivalent is
+    defining YourNet in nbdt/models and star-importing it — README's
+    ``--arch=yournet18`` flow). ``ctor(num_classes, dtype) -> nn.Module``;
+    the module must expose ``__call__(x, train, features_only)`` and a
+    classifier layer probe-able by hierarchy induction (a Dense named
+    ``linear``/``fc``/``output`` or any MODEL_FC_KEYS name).
+
+    Usable as a decorator::
+
+        @register_model("yournet18")
+        def yournet18(num_classes=10, dtype=jnp.float32): ...
+    """
+    if ctor is None:
+        return lambda fn: register_model(name, fn)
+    MODEL_REGISTRY[name] = ctor
+    return ctor
 
 
 def get_model_choices():

@@ -143,3 +143,47 @@ def test_resnet152_constructible():
     feats = module.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False,
                          features_only=True)
     assert feats.shape == (1, 2048)
+
+
+def test_register_custom_model_end_to_end():
+    """A user-registered arch (the reference's --arch=yournet18 flow) works
+    through the registry, hierarchy induction, and SoftNBDT."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+    from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
+    from nbdt_tpu.model import SoftNBDT
+    from nbdt_tpu.models import MODEL_REGISTRY, init_model, register_model
+    from nbdt_tpu.tree import Tree
+
+    class YourNet(nn.Module):
+        num_classes: int = 10
+        dtype: object = jnp.float32
+
+        @nn.compact
+        def __call__(self, x, train=False, features_only=False):
+            feats = nn.Dense(32, name="stem")(x.reshape(x.shape[0], -1))
+            feats = nn.relu(feats)
+            if features_only:
+                return feats
+            return nn.Dense(self.num_classes, name="linear")(feats)
+
+    @register_model("yournet18")
+    def yournet18(num_classes=10, dtype=jnp.float32):
+        return YourNet(num_classes=num_classes, dtype=dtype)
+
+    try:
+        module, variables = init_model("yournet18", 6, (8, 8, 3))
+        centers = get_centers_from_flax_params(variables["params"])
+        wnids = [f"f{i:08d}" for i in range(6)]
+        G = build_induced_graph(wnids, centers)
+        tree = Tree.from_graph(G, wnids)
+        model = SoftNBDT(dataset=None, model=module, params=variables,
+                         tree=tree)
+        x = np.random.RandomState(0).randn(2, 8, 8, 3).astype(np.float32)
+        out, decisions = model.forward_with_decisions(x)
+        assert np.asarray(out).shape == (2, 6)
+        assert len(decisions) == 2
+    finally:
+        MODEL_REGISTRY.pop("yournet18", None)
