@@ -1,4 +1,5 @@
 #!/bin/sh
 # Launch the NBDT inference API (reference examples/app/run.sh uses uwsgi;
 # this build's api.py is a stdlib ThreadingHTTPServer — no uwsgi needed).
-exec python api.py --port 5000 "$@"
+# Location-independent: works from any cwd.
+exec python "$(dirname "$0")/api.py" --port 5000 "$@"

@@ -322,10 +322,14 @@ def generate_hierarchy(
         no_prune=no_prune,
         fname=fname,
         path=path,
-        # The reference forwards single_path only into the wordnet BUILDER
-        # (hierarchy.py:79) — its fname codec never sees it, so
-        # "graph-wordnet.json" is the name either way. "-multi" is reserved
-        # for an explicit multi_path=True (graph.py CLI flag).
+        # The reference's fname codec reserves the "-multi" suffix for
+        # multi_path=True (graph.py:202). Its own pipeline never exercises
+        # it (hierarchy.py forwards single_path only into the wordnet
+        # builder, hierarchy.py:79, and the CLI's --multi-path is dead) —
+        # but since this repo's CLI actually enables multi-path, name the
+        # structurally different graph differently, or it would silently
+        # overwrite graph-wordnet.json.
+        multi_path=(single_path and method == "wordnet"),
         induced_linkage=induced_linkage,
         induced_affinity=induced_affinity,
         checkpoint=checkpoint,

@@ -340,14 +340,15 @@ def generate_vis(
 
 
 # Named highlight palettes (reference graph.py:119-126 --color choices).
-# Each maps to (leaf_color, highlight_color): the reference uses the chosen
-# color for colored leaves, colored nodes, AND the root-path highlight
-# (hierarchy.py:414-467); "blue-green" keeps green leaves, "blue-minimal"
-# uses a lighter accent.
+# Each maps to (base_color, leaf_color, highlight_color): the reference
+# grays every non-colored node and uses the chosen color for colored
+# leaves, colored nodes, AND the root-path highlight (hierarchy.py:414-467,
+# get_color_info's "gray" default) — so the highlight actually stands out.
+# "blue-green" keeps green leaves, "blue-minimal" uses a lighter accent.
 _COLOR_PALETTES = {
-    "blue": ("#1f77b4", "#1f77b4"),
-    "blue-green": ("#2ca02c", "#1f77b4"),
-    "blue-minimal": ("#9ecae1", "#3182bd"),
+    "blue": ("#999999", "#1f77b4", "#1f77b4"),
+    "blue-green": ("#999999", "#2ca02c", "#1f77b4"),
+    "blue-minimal": ("#bbbbbb", "#9ecae1", "#3182bd"),
 }
 
 
@@ -377,8 +378,9 @@ def generate_hierarchy_vis_from(
     root = vis_root or get_root(G)
     palette = {}
     if color is not None:
-        leaf_color, highlight_color = _COLOR_PALETTES[color]
-        palette = {"leaf_color": leaf_color, "highlight_color": highlight_color}
+        base_color, leaf_color, highlight_color = _COLOR_PALETTES[color]
+        palette = {"color": base_color, "leaf_color": leaf_color,
+                   "highlight_color": highlight_color}
     tree_data = build_tree(
         G, root,
         color_path_to=color_path_to,

@@ -183,6 +183,14 @@ class NBDT:
         from .models.utils import load_state_dict_from_key
         from .models.convert import torch_state_dict_to_flax
 
+        if checkpoint_path and str(checkpoint_path).endswith(".msgpack"):
+            # This repo's own checkpoint format (Trainer.save / the convert
+            # CLI): already a flax variables tree, no torch key mapping.
+            import flax.serialization
+
+            with open(checkpoint_path, "rb") as f:
+                return flax.serialization.msgpack_restore(f.read())
+
         keys = [(arch, dataset), (arch, dataset, hierarchy)]
         state_dict = load_state_dict_from_key(
             keys, model_urls, pretrained=True, checkpoint_path=checkpoint_path

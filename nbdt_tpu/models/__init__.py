@@ -81,7 +81,8 @@ MODEL_REGISTRY: Dict[str, Callable] = {
 }
 
 
-def register_model(name: str, ctor: Optional[Callable] = None) -> Callable:
+def register_model(name: str, ctor: Optional[Callable] = None,
+                   override: bool = False) -> Callable:
     """Register a custom backbone constructor (the reference's equivalent is
     defining YourNet in nbdt/models and star-importing it — README's
     ``--arch=yournet18`` flow). ``ctor(num_classes, dtype) -> nn.Module``;
@@ -89,13 +90,23 @@ def register_model(name: str, ctor: Optional[Callable] = None) -> Callable:
     classifier layer probe-able by hierarchy induction (a Dense named
     ``linear``/``fc``/``output`` or any MODEL_FC_KEYS name).
 
+    Re-registering an existing name raises unless ``override=True`` —
+    silently replacing a built-in would redirect every downstream
+    get_model() (checkpoint conversion, induction, CLIs) to the wrong
+    backbone.
+
     Usable as a decorator::
 
         @register_model("yournet18")
         def yournet18(num_classes=10, dtype=jnp.float32): ...
     """
     if ctor is None:
-        return lambda fn: register_model(name, fn)
+        return lambda fn: register_model(name, fn, override=override)
+    if name in MODEL_REGISTRY and not override:
+        raise ValueError(
+            f"arch {name!r} is already registered; pass override=True to "
+            "replace it"
+        )
     MODEL_REGISTRY[name] = ctor
     return ctor
 

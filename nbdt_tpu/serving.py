@@ -43,7 +43,9 @@ def make_serving_fn(
     bf16: bool = True,
 ) -> Callable:
     """Build the canonical serving forward: x [B,H,W,3] f32 -> leaf
-    log-probability distribution [B, C].
+    probability distribution [B, C] — the raw product of path
+    probabilities, exactly what the reference's soft rules return
+    (unnormalized; argmax is the NBDT prediction).
 
     ``bf16`` runs the conv backbone in bfloat16 (the MXU fast path, ~2x
     f32); the NBDT node decisions always compute in f32 (argmax parity —
@@ -54,6 +56,9 @@ def make_serving_fn(
     from .rules import soft_forward, to_device_tree
 
     jt = to_device_tree(tree.arrays)
+    # Accept a bare params dict, like NBDT._as_callable does.
+    if "params" not in variables:
+        variables = {"params": variables}
 
     serving_module = module
     if bf16 and hasattr(module, "dtype"):
@@ -100,7 +105,8 @@ def export_serving(
 
 def load_serving(path: str) -> Callable:
     """Load a :func:`export_serving` artifact into a callable x -> leaf
-    log-probs. The artifact is self-contained (weights + tree baked in)."""
+    probability distribution (raw path-probability product; see
+    :func:`make_serving_fn`). Self-contained: weights + tree baked in."""
     from jax import export as jexport
 
     with open(path, "rb") as f:

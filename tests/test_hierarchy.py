@@ -292,13 +292,21 @@ def test_generate_hierarchy_from_centers_only(tmp_path):
 
 
 def test_wordnet_single_path_keeps_reference_fname(tmp_path, monkeypatch):
-    """single_path only alters the builder; the written filename stays
-    graph-wordnet.json exactly like the reference pipeline (its codec never
-    sees single_path)."""
-    from nbdt_tpu.hierarchy.generate import generate_graph_fname
+    """The fname codec itself ignores single_path (reference parity: its
+    codec only knows multi_path, graph.py:202); generate_hierarchy maps
+    single_path -> the codec's reserved "-multi" name so enabling the
+    multi-path builder cannot silently overwrite graph-wordnet.json."""
+    from nbdt_tpu.hierarchy.generate import (
+        generate_graph_fname,
+        get_graph_path_from_args,
+    )
 
     assert generate_graph_fname(method="wordnet", single_path=True) == "graph-wordnet"
     assert generate_graph_fname(method="wordnet", multi_path=True) == "graph-wordnet-multi"
+    # default wordnet generation still resolves to the packaged name
+    assert get_graph_path_from_args("CIFAR10", "wordnet").endswith(
+        "graph-wordnet.json"
+    )
 
 
 def test_vis_named_color_palette(tmp_path):
@@ -316,7 +324,10 @@ def test_vis_named_color_palette(tmp_path):
         color="blue", color_nodes=[wnids[1]],
     )
     html = open(out).read()
-    assert "#1f77b4" in html and "#d62728" not in html
+    # highlighted nodes get the palette color; the rest gray out (the
+    # reference's get_color_info behavior), so the highlight is visible
+    assert "#1f77b4" in html and "#999999" in html
+    assert "#d62728" not in html
 
 
 def test_hierarchy_cli_multi_path_alias():

@@ -187,3 +187,45 @@ def test_register_custom_model_end_to_end():
         assert len(decisions) == 2
     finally:
         MODEL_REGISTRY.pop("yournet18", None)
+
+
+def test_register_model_collision_guarded():
+    """Re-registering an existing arch raises unless override=True."""
+    import pytest as pt
+
+    from nbdt_tpu.models import MODEL_REGISTRY, register_model
+
+    with pt.raises(ValueError, match="already registered"):
+        register_model("ResNet18", lambda **kw: None)
+    # override works and is restored
+    orig = MODEL_REGISTRY["ResNet18"]
+    try:
+        register_model("ResNet18", orig, override=True)
+        assert MODEL_REGISTRY["ResNet18"] is orig
+    finally:
+        MODEL_REGISTRY["ResNet18"] = orig
+
+
+def test_nbdt_loads_msgpack_checkpoint(tmp_path):
+    """SoftNBDT(checkpoint_path=*.msgpack) loads this repo's own checkpoint
+    format (Trainer.save / convert CLI payloads), not just torch .pth."""
+    import flax.serialization
+    import jax.numpy as jnp
+
+    from nbdt_tpu.model import SoftNBDT
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model("ResNet10", 10, (16, 16, 3), seed=3)
+    path = str(tmp_path / "ckpt.msgpack")
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}))
+
+    model = SoftNBDT(dataset="CIFAR10", model=module, arch="ResNet10",
+                     hierarchy="induced-ResNet10", pretrained=True,
+                     checkpoint_path=path)
+    x = np.random.RandomState(0).randn(2, 16, 16, 3).astype(np.float32)
+    out = np.asarray(model(x))
+    assert out.shape == (2, 10)
+    assert np.isfinite(out).all()
