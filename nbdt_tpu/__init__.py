@@ -16,6 +16,7 @@ Architecture (TPU-first, not a port):
   model       NBDT / SoftNBDT / HardNBDT / SegNBDT wrappers
   data        input pipelines
   parallel    device-mesh sharding for data-parallel training
+  serving     AOT compile + self-contained StableHLO export (jax.export)
 """
 
 __version__ = "0.1.0"
