@@ -100,7 +100,7 @@ class DataLoader:
         # yielded iff pad_last (padded + masked), else dropped — len() must
         # agree in both modes.
         n = self._shard_size()
-        if self.pad_last:
+        if self.pad_last or not self.drop_last:
             return (n + self.batch_size - 1) // self.batch_size
         return n // self.batch_size
 
@@ -130,9 +130,11 @@ class DataLoader:
         for start in range(0, stop, bs):
             idx = order[start : start + bs]
             valid = real[start : start + bs].copy()
-            if len(idx) < bs:
-                if not self.pad_last:
-                    break
+            if len(idx) < bs and self.pad_last:
+                # pad_last: equal static shapes, wrapped samples masked out.
+                # Without pad_last (drop_last=False), the final batch is
+                # yielded SHORT — torch DataLoader semantics; jit retraces
+                # once for the remainder shape.
                 pad = bs - len(idx)
                 idx = np.concatenate([idx, np.zeros(pad, dtype=idx.dtype)])
                 valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])

@@ -291,8 +291,19 @@ class SoftTreeLoss(SoftTreeSupLoss):
             offset >= 0
             and offset % self.update_every_epochs == 0
             and self.epochs < self.update_end_epochs
-            and self.params_fn is not None
         ):
+            if self.params_fn is None:
+                # Fail loudly rather than silently training against a
+                # frozen tree for the whole run — the reference crashes
+                # here too (loss.py:303-315 calls update_from_model(net)
+                # with the live net; there is no net-less fallback).
+                raise RuntimeError(
+                    "SoftTreeLoss is due to regenerate its induced "
+                    f"hierarchy at epoch {self.epochs} but was constructed "
+                    "without params_fn; pass params_fn=lambda: "
+                    "trainer.params (or use loss='SoftTreeSupLoss' for a "
+                    "fixed tree)."
+                )
             import os
 
             checkpoint_dir = self.checkpoint_path.replace(".pth", "")
@@ -345,6 +356,16 @@ class SoftSegTreeSupLoss(SoftTreeSupLoss):
     def __init__(self, *args, ignore_label: int = -1, **kwargs):
         super().__init__(*args, **kwargs)
         self.ignore_label = ignore_label
+        # Both terms hardcode masked_cross_entropy (void-pixel handling is
+        # baked into the flattened formulation); a custom criterion cannot
+        # be routed through, so reject it loudly instead of silently
+        # optimizing a different objective than the reference's
+        # criterion(outputs) + criterion(bayesian_outputs)*tsw.
+        assert self.criterion is cross_entropy, (
+            "SoftSegTreeSupLoss supports only the default cross-entropy "
+            f"criterion (void pixels are masked internally); got "
+            f"{self.criterion!r}"
+        )
 
     def forward(self, outputs, targets):
         assert_output_not_nbdt(outputs)

@@ -284,6 +284,11 @@ def main(argv=None):
         trainset, local_bs, shuffle=True,
         transform=trainset.transform_train() if hasattr(trainset, "transform_train")
         else None,
+        # Reference parity: torch's DataLoader trains on the final partial
+        # batch (drop_last=False, main.py:136-141). The smaller last batch
+        # costs ONE extra jit trace (cached across epochs). Mesh runs keep
+        # drop_last=True — a partial batch need not divide the dp axis.
+        drop_last=args.mesh,
         num_shards=n_procs, shard_id=proc_id,
     ))
     testloader = DataLoader(

@@ -83,6 +83,30 @@ def lr_boundaries(epochs: int, steps_per_epoch: int) -> dict:
     return boundaries
 
 
+def _fast_forward_schedule(opt_state, step: int):
+    """Set every schedule step-count in the optimizer state to ``step``.
+
+    make_optimizer's LR schedule rides on optax.ScaleByScheduleState.count;
+    after a resume re-inits the state, the count must jump to the resumed
+    step or the MultiStepLR drops replay from scratch."""
+    import jax.numpy as jnp
+
+    def bump(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            # Uncommitted scalar (like optax.init's own zeros): jit places
+            # it freely; a committed copy would clash with mesh-placed
+            # params in the donated step.
+            return optax.ScaleByScheduleState(
+                count=jnp.asarray(step, dtype=s.count.dtype)
+            )
+        return s
+
+    return jax.tree_util.tree_map(
+        bump, opt_state,
+        is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState),
+    )
+
+
 def make_optimizer(config: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
     """torch SGD(momentum, weight_decay) + MultiStepLR(3/7E, 5/7E, gamma=.1).
 
@@ -207,6 +231,11 @@ def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays]
         acc = (jnp.argmax(logits, -1) == y).mean()
         metrics = {
             "loss": total, "loss_xent": loss_x, "loss_tree": loss_t, "acc": acc,
+            # Raw backbone logits ride along (device-resident, ~B*C floats)
+            # so analyzers can observe training batches like the reference's
+            # train loop does (main.py:244); Trainer pops them from the
+            # scalar metrics.
+            "logits": logits,
         }
         return new_params, new_stats, new_opt_state, metrics
 
@@ -277,7 +306,11 @@ class Trainer:
         # main.py:276-277 applies transform_val_inverse) so image-writing
         # analyzers (ScoreSave family) dump real pixels, not normalized ones.
         self.inverse_transform = inverse_transform
-        self.criterion_state = criterion_state  # e.g. SoftTreeLoss wrapper for refresh
+        # criterion_state (e.g. the SoftTreeLoss wrapper, for tree refresh)
+        # is a property: assigning it also records its current device tree,
+        # so a refresh that happens on the very first set_epoch (offset 0 on
+        # resume) is seen as a change and rebuilds the step.
+        self.criterion_state = criterion_state
 
         jt = None
         if tree is not None and config.loss != "CrossEntropyLoss":
@@ -296,7 +329,19 @@ class Trainer:
         self.eval_step = make_eval_step(module)
         self.best_acc = 0.0
         self.start_epoch = 0
-        self._criterion_jt = None  # last tree seen from criterion_state
+
+    @property
+    def criterion_state(self):
+        return self._criterion_state
+
+    @criterion_state.setter
+    def criterion_state(self, cs):
+        """Record the criterion's current device tree at assignment time so
+        train_epoch can detect regeneration by identity — including one that
+        happens on the criterion's very first set_epoch call (e.g. a resume
+        landing exactly on a refresh epoch)."""
+        self._criterion_state = cs
+        self._criterion_jt = getattr(cs, "jt", None)
 
     def _make_step(self, jt):
         return make_train_step(
@@ -319,13 +364,14 @@ class Trainer:
     # -- weight schedules (reference loss.py:184-209) ------------------------
 
     def _weights(self, epoch: int) -> Tuple[float, float]:
+        from .losses import scheduled_weight
+
         c = self.config
         progress = epoch / c.epochs if c.epochs else 1.0
 
         def sched(start, end, power):
-            end = end if end is not None else start
-            p = progress ** power
-            return (1 - p) * start + p * end
+            return scheduled_weight(start, end if end is not None else start,
+                                    progress, power)
 
         tw = sched(
             c.tree_supervision_weight,
@@ -361,23 +407,36 @@ class Trainer:
             # its own device copy of the initial tree, so track the last jt
             # we saw from it rather than comparing against our own.
             new_jt = getattr(self.criterion_state, "jt", None)
-            if new_jt is not None:
-                if self._criterion_jt is None:
-                    self._criterion_jt = new_jt  # initial copy of the same tree
-                elif new_jt is not self._criterion_jt:
-                    self._criterion_jt = new_jt
-                    self.jt = new_jt
-                    self.train_step = self._make_step(new_jt)
+            if new_jt is not None and new_jt is not self._criterion_jt:
+                # The criterion's device tree changed identity since it was
+                # assigned — a regeneration, even if it happened on its very
+                # first set_epoch call (resume onto a refresh epoch).
+                self._criterion_jt = new_jt
+                self.jt = new_jt
+                self.train_step = self._make_step(new_jt)
         t0 = time.time()
         last = {}
         n_batches = len(self.trainloader)
+        if self.analyzer is not None:
+            # Reference lifecycle: the analyzer wraps the train loop too
+            # (start_end_decorator on the train fn, main.py:224) and sees
+            # every training batch (update_batch, main.py:244-245).
+            self.analyzer.start_train(epoch)
         for i, (x, y, valid) in enumerate(self.trainloader):
             self.params, self.batch_stats, self.opt_state, m = self.train_step(
                 self.params, self.batch_stats, self.opt_state,
                 self._put(x), self._put(y),
                 jnp.float32(tw), jnp.float32(xw),
             )
+            m = dict(m)
+            logits = m.pop("logits")
             last = {k: float(v) for k, v in m.items()}
+            if self.analyzer is not None:
+                imgs = np.asarray(x)
+                if self.inverse_transform is not None:
+                    imgs = np.asarray(self.inverse_transform(imgs))
+                self.analyzer.update_batch(np.asarray(logits), np.asarray(y),
+                                           imgs)
             if self.show_progress:
                 from .utils import progress_bar
 
@@ -385,6 +444,8 @@ class Trainer:
                     i, n_batches,
                     f"Loss: {last['loss']:.3f} | Acc: {last['acc'] * 100:.2f}%",
                 )
+        if self.analyzer is not None:
+            self.analyzer.end_train(epoch)
         last["time"] = time.time() - t0
         return last
 
@@ -518,7 +579,13 @@ class Trainer:
                 f.write(flax.serialization.to_bytes(payload))
             saved = path + ".msgpack"
         with open(path + ".json", "w") as f:
-            json.dump({"acc": acc, "epoch": epoch, "arch": self.config.arch}, f)
+            # best_acc is stored too: the rolling "-last" checkpoint holds
+            # the CURRENT epoch's accuracy, and a resume restoring that as
+            # best would let a worse-than-historical epoch overwrite the
+            # best-accuracy checkpoint. max() keeps the direct-save contract
+            # (save(acc=x) without touching best_acc restores best as x).
+            json.dump({"acc": acc, "epoch": epoch, "arch": self.config.arch,
+                       "best_acc": max(self.best_acc, acc)}, f)
         return saved
 
     def load(self, path: str) -> None:
@@ -549,5 +616,16 @@ class Trainer:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-            self.best_acc = meta.get("acc", 0.0)
+            # best_acc prefers the stored best (older checkpoints only have
+            # "acc" — for the best-only checkpoint they coincide; for the
+            # rolling "-last" it is the current epoch's acc and using it
+            # would let a worse epoch overwrite the best checkpoint).
+            self.best_acc = meta.get("best_acc", meta.get("acc", 0.0))
             self.start_epoch = meta.get("epoch", 0)
+        # Fast-forward the LR schedule: optimizer.init reset its step count
+        # to 0, but training resumes at start_epoch — without this, a run
+        # resumed past the 3/7E / 5/7E milestones would train at the initial
+        # LR (up to 100x too hot for a converged model).
+        self.opt_state = _fast_forward_schedule(
+            self.opt_state, self.start_epoch * max(1, len(self.trainloader))
+        )

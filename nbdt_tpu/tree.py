@@ -368,7 +368,13 @@ class TreeArrays:
                 if old:
                     membership[i, k, old] = 1.0 / len(old)
                     under[i, k, old] = 1.0
-                    target_child[i, old] = k
+                    # First child wins when a class sits under multiple
+                    # children (multi-path graphs): the reference's hard
+                    # loss targets class_index_to_child_index[t][0]
+                    # (model.py:134-136), so later slots must not overwrite.
+                    old_arr = np.asarray(old)
+                    unset = target_child[i, old_arr] < 0
+                    target_child[i, old_arr[unset]] = k
                 if k < node.num_children:
                     child_wnid = node.succ[k]
                     if child_wnid in wnid_to_inode:

@@ -1,0 +1,213 @@
+"""Regression tests for the round-2 semantic-review fixes (resume LR,
+best-acc meta, tree-refresh detection, multi-path hard targets, loud
+criterion guards, analyzer train lifecycle, partial final batch)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def tiny_trainer(tmp_path):
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+    from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+    from nbdt_tpu.tree import Tree
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    wnids = [f"f{i:08d}" for i in range(7)]
+    centers = get_centers_from_flax_params(variables["params"])
+    tree = Tree.from_graph(build_induced_graph(wnids, centers), wnids,
+                           classes=[f"c{i}" for i in range(7)])
+    ds = SyntheticDataset(num_classes=7, size=32, image_size=16)
+    tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train())
+    vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
+                    pad_last=True)
+
+    def make(epochs=14):
+        cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                          epochs=epochs, loss="SoftTreeSupLoss", lr=0.1,
+                          checkpoint_dir=str(tmp_path))
+        return Trainer(cfg, module, variables, tl, vl, tree=tree)
+
+    return make
+
+
+def _schedule_count(opt_state):
+    import optax
+
+    counts = []
+
+    def visit(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            counts.append(int(s.count))
+        return s
+
+    import jax
+    jax.tree_util.tree_map(
+        visit, opt_state,
+        is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState))
+    return counts[0]
+
+
+def test_resume_fast_forwards_lr_schedule(tiny_trainer):
+    """load() must advance the LR-schedule step count to the resumed epoch:
+    optimizer.init resets it, and resuming past the 3/7E / 5/7E milestones
+    would otherwise train at the initial (up to 100x too hot) LR."""
+    tr = tiny_trainer()
+    tr.best_acc = 55.0
+    path = tr.save(epoch=12, acc=40.0, suffix="-last")
+
+    tr2 = tiny_trainer()
+    tr2.load(path)
+    assert tr2.start_epoch == 12
+    assert _schedule_count(tr2.opt_state) == 12 * len(tr2.trainloader)
+
+
+def test_resume_last_preserves_best_acc(tiny_trainer):
+    """The rolling '-last' checkpoint stores the CURRENT epoch's accuracy;
+    resume must restore the historical best, or a worse epoch would
+    overwrite the best-accuracy checkpoint."""
+    tr = tiny_trainer()
+    tr.best_acc = 94.0
+    path = tr.save(epoch=10, acc=91.0, suffix="-last")
+
+    tr2 = tiny_trainer()
+    tr2.load(path)
+    assert tr2.best_acc == 94.0
+
+
+def test_first_set_epoch_regen_rebuilds_step(tiny_trainer):
+    """A hierarchy regeneration on the criterion's very FIRST set_epoch
+    (e.g. resume landing on a refresh epoch) must rebuild the jitted step —
+    it used to be recorded as 'the initial tree' and swallowed."""
+    from nbdt_tpu.rules import to_device_tree
+
+    tr = tiny_trainer()
+
+    class FakeCriterion:
+        def __init__(self, jt):
+            self.jt = jt
+
+        def set_epoch(self, cur, total):
+            # regenerate on the first call, like SoftTreeLoss at offset 0
+            self.jt = to_device_tree(tr.tree.arrays)
+
+    tr.criterion_state = FakeCriterion(tr.jt)
+    old_step = tr.train_step
+    tr.train_epoch(0)
+    assert tr.train_step is not old_step, (
+        "first-call regeneration did not rebuild the train step")
+    assert tr.jt is tr.criterion_state.jt
+
+
+def test_multipath_target_child_first_wins():
+    """When a class sits under two children of one node (multi-path graph),
+    the hard-loss target is the FIRST child slot (reference
+    model.py:134-136 takes cls[0]), not the last."""
+    from nbdt_tpu.hierarchy.digraph import Digraph
+    from nbdt_tpu.tree import Tree
+
+    G = Digraph()
+    # root -> a, b; a -> leaf0, leaf1; b -> leaf1 (leaf1 has two paths)
+    for wnid, label in [("f00000000", "root"), ("f00000001", "a"),
+                        ("f00000002", "b"), ("f00000003", "leaf0"),
+                        ("f00000004", "leaf1")]:
+        G.add_node(wnid, label=label)
+    G.add_edge("f00000000", "f00000001")
+    G.add_edge("f00000000", "f00000002")
+    G.add_edge("f00000001", "f00000003")
+    G.add_edge("f00000001", "f00000004")
+    G.add_edge("f00000002", "f00000004")
+
+    leaves = ["f00000003", "f00000004"]
+    tree = Tree.from_graph(G, leaves, classes=["leaf0", "leaf1"])
+    ta = tree.arrays
+    root_i = [i for i, n in enumerate(tree.inodes)
+              if n.wnid == "f00000000"][0]
+    # class 1 (leaf1) is under root's child 0 (a) AND child 1 (b): the
+    # reference targets the first -> slot 0
+    assert ta.target_child[root_i, 1] == 0
+
+
+def test_soft_tree_loss_requires_params_fn(synthetic_tree):
+    """SoftTreeLoss due for a refresh without params_fn fails loudly
+    (the reference crashes too) instead of silently freezing the tree."""
+    from nbdt_tpu.losses import SoftTreeLoss
+
+    crit = SoftTreeLoss(tree=synthetic_tree, tree_start_epochs=2,
+                        tree_update_every_epochs=3)
+    crit.set_epoch(0, 10)  # pre-start: fine
+    with pytest.raises(RuntimeError, match="params_fn"):
+        crit.set_epoch(2, 10)  # offset 0 -> regeneration due
+
+
+def test_soft_seg_loss_rejects_custom_criterion(synthetic_tree):
+    """SoftSegTreeSupLoss hardcodes masked CE for both terms; a custom
+    criterion must be rejected loudly, not silently dropped."""
+    from nbdt_tpu.losses import SoftSegTreeSupLoss
+
+    with pytest.raises(AssertionError, match="cross-entropy"):
+        SoftSegTreeSupLoss(tree=synthetic_tree,
+                           criterion=lambda a, b: 0.0)
+
+
+def test_analyzer_sees_training_batches(tiny_trainer):
+    """Reference lifecycle (main.py:224-245): the analyzer wraps the train
+    loop (start_train/end_train) and receives every training batch."""
+    tr = tiny_trainer()
+
+    class Recorder:
+        def __init__(self):
+            self.events = []
+
+        def start_train(self, epoch):
+            self.events.append(("start_train", epoch))
+
+        def end_train(self, epoch):
+            self.events.append(("end_train", epoch))
+
+        def update_batch(self, outputs, targets, images=None):
+            assert outputs.shape[-1] == 7
+            assert images is not None and images.ndim == 4
+            self.events.append(("batch", len(targets)))
+
+    tr.analyzer = Recorder()
+    tr.train_epoch(0)
+    kinds = [e[0] for e in tr.analyzer.events]
+    assert kinds[0] == "start_train" and kinds[-1] == "end_train"
+    assert kinds.count("batch") == len(tr.trainloader)
+
+
+def test_partial_final_batch_trains(tmp_path):
+    """drop_last=False without pad_last yields the final SHORT batch (torch
+    DataLoader semantics, reference main.py:136-141) and the jitted step
+    handles the second shape."""
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+    from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+    from nbdt_tpu.tree import Tree
+
+    ds = SyntheticDataset(num_classes=7, size=20, image_size=16)
+    dl = DataLoader(ds, 8, shuffle=False, drop_last=False,
+                    transform=ds.transform_val())
+    sizes = [len(y) for _, y, _ in dl]
+    assert sizes == [8, 8, 4]
+    assert len(dl) == 3
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    wnids = [f"f{i:08d}" for i in range(7)]
+    centers = get_centers_from_flax_params(variables["params"])
+    tree = Tree.from_graph(build_induced_graph(wnids, centers), wnids,
+                           classes=[f"c{i}" for i in range(7)])
+    vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
+                    pad_last=True)
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=1, loss="SoftTreeSupLoss", lr=0.01,
+                      checkpoint_dir=str(tmp_path))
+    tr = Trainer(cfg, module, variables, dl, vl, tree=tree)
+    stats = tr.train_epoch(0)  # must not crash on the 4-sample batch
+    assert np.isfinite(stats["loss"])
