@@ -191,7 +191,34 @@ def bench_jax() -> float:
         log(f"bf16 path failed: {type(e).__name__}: {e}")
         bf16 = None
 
-    candidates = [v for v in (bf16, plain) if v]
+    # bf16 + BatchNorm folded into the conv weights (models/fold.py): pure
+    # conv+bias+ReLU graph, activations stay bf16 end-to-end (no f32 norm
+    # round-trip). Argmax is checked against the unfolded f32 path.
+    folded = None
+    try:
+        from nbdt_tpu.models.fold import fold_batchnorm
+
+        fmod, fvars = fold_batchnorm(module, variables)
+        fmod16 = fmod.clone(dtype=jnp.bfloat16)
+
+        @jax.jit
+        def forward_folded(fvars, x):
+            logits = fmod16.apply(fvars, x.astype(jnp.bfloat16), train=False)
+            return soft_forward(logits.astype(jnp.float32), jt)
+
+        ref_arg = np.argmax(np.asarray(forward_jnp(variables, xs[0])), -1)
+        fold_arg = np.argmax(np.asarray(forward_folded(fvars, xs[0])), -1)
+        agree = float((ref_arg == fold_arg).mean())
+        log(f"bf16-folded argmax agreement vs f32: {agree:.4f}")
+        if agree >= 0.999:
+            folded = _measure(lambda _v, x: forward_folded(fvars, x),
+                              variables, xs, "jax bf16-folded-bn")
+        else:
+            log("bf16-folded path skipped (argmax drift)")
+    except Exception as e:
+        log(f"bf16-folded path failed: {type(e).__name__}: {e}")
+
+    candidates = [v for v in (folded, bf16, plain) if v]
     assert candidates, "no JAX path succeeded"
     return max(candidates)
 

@@ -83,6 +83,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh", action="store_true",
                         help="data-parallel over all local devices (batch "
                              "sharded over a dp mesh; params replicated)")
+    parser.add_argument("--zero", action="store_true",
+                        help="ZeRO-1: shard optimizer momentum 1/|dp| per "
+                             "device (requires --mesh)")
     # multi-host bootstrap (reference: ClassyVision DDP via
     # torch.distributed.launch, examples/imagenet/classy_train.py:93-106)
     parser.add_argument("--multihost", action="store_true",
@@ -311,9 +314,11 @@ def main(argv=None):
 
         mesh = make_mesh()
         Colors.cyan(f"==> dp mesh over {mesh.devices.size} devices")
+    if args.zero and mesh is None:
+        parser.error("--zero requires --mesh")
     trainer = Trainer(
         config, module, variables, trainloader, testloader, tree=tree,
-        analyzer=analyzer, show_progress=True, mesh=mesh,
+        analyzer=analyzer, show_progress=True, mesh=mesh, zero=args.zero,
         inverse_transform=testset.transform_val_inverse()
         if hasattr(testset, "transform_val_inverse") else None,
     )

@@ -46,7 +46,11 @@ model_urls = {
 
 
 class BasicBlock(nn.Module):
-    """conv3x3-bn-relu, conv3x3-bn, +shortcut, relu (reference resnet.py:42-74)."""
+    """conv3x3-bn-relu, conv3x3-bn, +shortcut, relu (reference resnet.py:42-74).
+
+    ``folded=True`` is the serving variant: BatchNorm layers are gone and the
+    convs carry a bias instead (``models.fold.fold_batchnorm`` produces the
+    matching params — standard inference-time BN folding)."""
 
     planes: int
     stride: int = 1
@@ -54,29 +58,33 @@ class BasicBlock(nn.Module):
     conv: ModuleDef = nn.Conv
     norm: ModuleDef = nn.BatchNorm
     dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x):
         out = self.conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=1, use_bias=False, name="conv1", dtype=self.dtype,
+            padding=1, use_bias=self.folded, name="conv1", dtype=self.dtype,
         )(x)
-        out = self.norm(name="bn1")(out)
+        if not self.folded:
+            out = self.norm(name="bn1")(out)
         out = nn.relu(out)
         out = self.conv(
-            self.planes, (3, 3), strides=(1, 1), padding=1, use_bias=False,
-            name="conv2", dtype=self.dtype,
+            self.planes, (3, 3), strides=(1, 1), padding=1,
+            use_bias=self.folded, name="conv2", dtype=self.dtype,
         )(out)
-        out = self.norm(name="bn2")(out)
+        if not self.folded:
+            out = self.norm(name="bn2")(out)
 
         shortcut = x
         if self.stride != 1 or x.shape[-1] != self.expansion * self.planes:
             shortcut = self.conv(
                 self.expansion * self.planes, (1, 1),
-                strides=(self.stride, self.stride), use_bias=False,
+                strides=(self.stride, self.stride), use_bias=self.folded,
                 name="shortcut_conv", dtype=self.dtype,
             )(x)
-            shortcut = self.norm(name="shortcut_bn")(shortcut)
+            if not self.folded:
+                shortcut = self.norm(name="shortcut_bn")(shortcut)
         return nn.relu(out + shortcut)
 
 
@@ -89,34 +97,40 @@ class Bottleneck(nn.Module):
     conv: ModuleDef = nn.Conv
     norm: ModuleDef = nn.BatchNorm
     dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x):
         out = self.conv(
-            self.planes, (1, 1), use_bias=False, name="conv1", dtype=self.dtype
+            self.planes, (1, 1), use_bias=self.folded, name="conv1",
+            dtype=self.dtype,
         )(x)
-        out = self.norm(name="bn1")(out)
+        if not self.folded:
+            out = self.norm(name="bn1")(out)
         out = nn.relu(out)
         out = self.conv(
             self.planes, (3, 3), strides=(self.stride, self.stride), padding=1,
-            use_bias=False, name="conv2", dtype=self.dtype,
+            use_bias=self.folded, name="conv2", dtype=self.dtype,
         )(out)
-        out = self.norm(name="bn2")(out)
+        if not self.folded:
+            out = self.norm(name="bn2")(out)
         out = nn.relu(out)
         out = self.conv(
-            self.expansion * self.planes, (1, 1), use_bias=False, name="conv3",
-            dtype=self.dtype,
+            self.expansion * self.planes, (1, 1), use_bias=self.folded,
+            name="conv3", dtype=self.dtype,
         )(out)
-        out = self.norm(name="bn3")(out)
+        if not self.folded:
+            out = self.norm(name="bn3")(out)
 
         shortcut = x
         if self.stride != 1 or x.shape[-1] != self.expansion * self.planes:
             shortcut = self.conv(
                 self.expansion * self.planes, (1, 1),
-                strides=(self.stride, self.stride), use_bias=False,
+                strides=(self.stride, self.stride), use_bias=self.folded,
                 name="shortcut_conv", dtype=self.dtype,
             )(x)
-            shortcut = self.norm(name="shortcut_bn")(shortcut)
+            if not self.folded:
+                shortcut = self.norm(name="shortcut_bn")(shortcut)
         return nn.relu(out + shortcut)
 
 
@@ -134,9 +148,11 @@ class ResNet(nn.Module):
     expansion: int = 1
     imagenet_stem: bool = False
     dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False):
+        assert not (self.folded and train), "folded models are inference-only"
         norm = partial(
             nn.BatchNorm,
             use_running_average=not train,
@@ -148,14 +164,17 @@ class ResNet(nn.Module):
 
         x = x.astype(self.dtype)
         if self.imagenet_stem:
-            out = conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                       name="conv1")(x)
-            out = norm(name="bn1")(out)
+            out = conv(64, (7, 7), strides=(2, 2), padding=3,
+                       use_bias=self.folded, name="conv1")(x)
+            if not self.folded:
+                out = norm(name="bn1")(out)
             out = nn.relu(out)
             out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         else:
-            out = conv(64, (3, 3), padding=1, use_bias=False, name="conv1")(x)
-            out = norm(name="bn1")(out)
+            out = conv(64, (3, 3), padding=1, use_bias=self.folded,
+                       name="conv1")(x)
+            if not self.folded:
+                out = norm(name="bn1")(out)
             out = nn.relu(out)
 
         in_planes = 64
@@ -171,6 +190,7 @@ class ResNet(nn.Module):
                     conv=conv,
                     norm=norm,
                     dtype=self.dtype,
+                    folded=self.folded,
                     name=f"layer{stage}_{i}",
                 )(out)
             in_planes = planes * self.expansion

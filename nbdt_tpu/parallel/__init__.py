@@ -22,3 +22,4 @@ from .distributed import (
     local_data,
     process_local_batch,
 )
+from .zero import shard_opt_state, zero_sharding

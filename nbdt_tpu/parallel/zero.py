@@ -1,0 +1,54 @@
+"""ZeRO-1 optimizer-state sharding over the data-parallel axis.
+
+No reference counterpart (the reference's DataParallel replicates
+everything); this is the TPU-idiomatic memory-scaling knob: params stay
+replicated (they must ride every chip's forward pass), but optimizer
+momentum buffers — same size as the params — are sharded 1/|dp| per device.
+Expressed purely as shardings: the jitted train step is unchanged, XLA's
+SPMD partitioner inserts the reduce-scatter/all-gather pair around the
+momentum update (the classic ZeRO-1 communication pattern) from the
+placement alone.
+
+For SGD-momentum the saving is 1x params per chip; for Adam-family it would
+be 2x. Worth it when params stop fitting comfortably next to activations —
+a capability knob for large backbones, measured no-op at ResNet scale.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def zero_sharding(mesh: Mesh, opt_state, min_elems: int = 1024):
+    """Per-leaf NamedShardings sharding each buffer's largest divisible axis
+    over ``dp``; small/indivisible leaves (schedule counts, scalars) replicate.
+
+    Returns a pytree congruent with ``opt_state``.
+    """
+    dp = mesh.shape["dp"]
+    repl = NamedSharding(mesh, P())
+
+    def place(leaf):
+        shape = getattr(leaf, "shape", ())
+        if np.prod(shape, dtype=np.int64) < min_elems:
+            return repl
+        # largest axis divisible by dp (ties -> first)
+        best = None
+        for i, d in enumerate(shape):
+            if d % dp == 0 and (best is None or d > shape[best]):
+                best = i
+        if best is None:
+            return repl
+        spec = [None] * len(shape)
+        spec[best] = "dp"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(place, opt_state)
+
+
+def shard_opt_state(mesh: Mesh, opt_state, min_elems: int = 1024):
+    """Device-put ``opt_state`` with :func:`zero_sharding` placements."""
+    shardings = zero_sharding(mesh, opt_state, min_elems=min_elems)
+    return jax.tree_util.tree_map(jax.device_put, opt_state, shardings)

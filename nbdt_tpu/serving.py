@@ -41,6 +41,7 @@ def make_serving_fn(
     variables,
     tree,
     bf16: bool = True,
+    fold_bn: bool = False,
 ) -> Callable:
     """Build the canonical serving forward: x [B,H,W,3] f32 -> leaf
     probability distribution [B, C] — the raw product of path
@@ -52,6 +53,11 @@ def make_serving_fn(
     see CLAUDE.md invariant). Weights and tree constants are closed over,
     so the returned function is a pure function of ``x`` and can be
     jitted, AOT-compiled, or exported as-is.
+
+    ``fold_bn`` folds BatchNorm into the conv weights first
+    (models.fold.fold_batchnorm — ResNet family only): the serving graph
+    becomes pure conv+bias+ReLU and bf16 activations stay bf16 end-to-end
+    instead of round-tripping through the f32 norm layers.
     """
     from .rules import soft_forward, to_device_tree
 
@@ -61,8 +67,12 @@ def make_serving_fn(
         variables = {"params": variables}
 
     serving_module = module
-    if bf16 and hasattr(module, "dtype"):
-        serving_module = module.clone(dtype=jnp.bfloat16)
+    if fold_bn:
+        from .models.fold import fold_batchnorm
+
+        serving_module, variables = fold_batchnorm(serving_module, variables)
+    if bf16 and hasattr(serving_module, "dtype"):
+        serving_module = serving_module.clone(dtype=jnp.bfloat16)
 
     def fn(x):
         if bf16:

@@ -174,7 +174,8 @@ def tree_term_fn(
 def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays],
                     tsw: float = 1.0, remat: bool = False,
                     criterion_fn: Optional[Callable] = None,
-                    pre_start: bool = False):
+                    pre_start: bool = False, opt_sharding=None,
+                    param_sharding=None):
     """Build the jitted train step.
 
     step(params, batch_stats, opt_state, x, y, tree_weight, xent_weight)
@@ -192,6 +193,15 @@ def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays]
     defaults to cross-entropy. ``pre_start`` selects the SoftTreeLoss
     warm-up semantics (tree term = base criterion) — the Trainer rebuilds
     the step once when the tree kicks in at ``tree_start_epochs``.
+
+    ``opt_sharding``: optional pytree of NamedShardings (congruent with the
+    optimizer state) pinning the updated optimizer state's placement — the
+    ZeRO-1 path (parallel.zero): momentum buffers stay sharded over dp
+    across donated steps instead of being re-replicated by layout
+    propagation. ``param_sharding`` (same idea, congruent with params) pins
+    the updated params; without it XLA's propagation pushes the momentum's
+    dp-sharding into the params too (de-facto ZeRO-3), inserting an
+    all-gather into every forward.
     """
     criterion = criterion_fn or cross_entropy
     tree_term = tree_term_fn(loss_name, jt, tsw, criterion_fn=criterion,
@@ -227,7 +237,15 @@ def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays]
             jax.value_and_grad(loss_fn, has_aux=True)(params)
         )
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        if opt_sharding is not None:
+            new_opt_state = jax.lax.with_sharding_constraint(
+                new_opt_state, opt_sharding
+            )
         new_params = optax.apply_updates(params, updates)
+        if param_sharding is not None:
+            new_params = jax.lax.with_sharding_constraint(
+                new_params, param_sharding
+            )
         acc = (jnp.argmax(logits, -1) == y).mean()
         metrics = {
             "loss": total, "loss_xent": loss_x, "loss_tree": loss_t, "acc": acc,
@@ -269,12 +287,16 @@ class Trainer:
         mesh=None,
         criterion_fn: Optional[Callable] = None,
         inverse_transform: Optional[Callable] = None,
+        zero: bool = False,
     ):
         """``mesh``: optional jax.sharding.Mesh with a "dp" axis. When given,
         the trainer replicates params over the mesh and shards every batch's
         leading axis over dp — the same jitted step then runs data-parallel
         on any number of chips, with XLA emitting the gradient all-reduces
-        (replaces the reference's DataParallel wrap, main.py:160-161)."""
+        (replaces the reference's DataParallel wrap, main.py:160-161).
+
+        ``zero``: ZeRO-1 — shard optimizer momentum buffers 1/|dp| per
+        device (parallel.zero); params stay replicated. Requires ``mesh``."""
         self.show_progress = show_progress
         self.config = config
         self.module = module
@@ -322,6 +344,21 @@ class Trainer:
         self.criterion_fn = criterion_fn
         self.optimizer = make_optimizer(config, len(trainloader))
         self.opt_state = self.optimizer.init(self.params)
+        self._opt_sharding = None
+        self._param_sharding = None
+        if zero:
+            assert mesh is not None, "zero=True requires a mesh"
+            from .parallel import replicate
+            from .parallel.zero import shard_opt_state, zero_sharding
+
+            self._opt_sharding = zero_sharding(mesh, self.opt_state)
+            self.opt_state = shard_opt_state(mesh, self.opt_state)
+            # Params stay replicated (ZeRO-1, not ZeRO-3): pin them, or
+            # XLA's propagation shards them like the momentum.
+            repl_m = replicate(mesh)
+            self._param_sharding = jax.tree_util.tree_map(
+                lambda _: repl_m, self.params
+            )
         self._pre_start = (
             config.loss == "SoftTreeLoss" and config.tree_start_epochs > 0
         )
@@ -348,6 +385,8 @@ class Trainer:
             self.module, self.optimizer, self.config.loss, jt,
             tsw=self.config.tree_supervision_weight, remat=self.config.remat,
             criterion_fn=self.criterion_fn, pre_start=self._pre_start,
+            opt_sharding=self._opt_sharding,
+            param_sharding=self._param_sharding,
         )
 
     def _put(self, a):
@@ -613,6 +652,10 @@ class Trainer:
         self.params = self._copy(payload["params"])
         self.batch_stats = self._copy(payload["batch_stats"])
         self.opt_state = self.optimizer.init(self.params)
+        if self._opt_sharding is not None:
+            self.opt_state = jax.tree_util.tree_map(
+                jax.device_put, self.opt_state, self._opt_sharding
+            )
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)

@@ -102,3 +102,67 @@ def test_trainer_with_mesh(synthetic_tree):
     # params stayed replicated
     kernel = tr.params["linear"]["kernel"]
     assert kernel.sharding.is_fully_replicated
+
+
+def test_trainer_zero1_optimizer_sharding(synthetic_tree):
+    """ZeRO-1 (zero=True): momentum buffers shard 1/|dp| per device while
+    params stay replicated, and the trained result matches the replicated
+    run (the placement changes communication, not math)."""
+    import jax
+    import optax
+
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.parallel import make_mesh
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_devices=8)
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    ds = SyntheticDataset(num_classes=7, size=32, image_size=16)
+    cfg = TrainConfig(batch_size=16, epochs=1, loss="SoftTreeSupLoss", lr=0.01,
+                      checkpoint_dir="/tmp/ckpt-zero")
+
+    def run(zero):
+        tl = DataLoader(ds, 16, shuffle=False)
+        vl = DataLoader(ds, 16, drop_last=False, pad_last=True)
+        tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree,
+                     mesh=mesh, zero=zero)
+        with mesh:
+            m = tr.train_epoch(0)
+        assert np.isfinite(m["loss"])
+        return tr
+
+    tr = run(zero=True)
+
+    # Momentum buffers (trace state) are dp-sharded: each device holds 1/8.
+    def momentum_leaves(opt_state):
+        leaves = []
+
+        def visit(s):
+            if isinstance(s, optax.TraceState):
+                leaves.extend(jax.tree_util.tree_leaves(s.trace))
+            return s
+
+        jax.tree_util.tree_map(
+            visit, opt_state, is_leaf=lambda s: isinstance(s, optax.TraceState)
+        )
+        return leaves
+
+    sharded = [l for l in momentum_leaves(tr.opt_state)
+               if l.size >= 1024 and any(d % 8 == 0 for d in l.shape)]
+    assert sharded, "no momentum leaf eligible for dp-sharding"
+    for leaf in sharded:
+        assert not leaf.sharding.is_fully_replicated, leaf.shape
+        shard_shape = leaf.addressable_shards[0].data.shape
+        assert np.prod(shard_shape) == leaf.size // 8, (leaf.shape, shard_shape)
+    # params stayed replicated
+    assert tr.params["linear"]["kernel"].sharding.is_fully_replicated
+
+    # Identical math: final params match the replicated (zero=False) run.
+    tr_ref = run(zero=False)
+    a = jax.tree_util.tree_leaves(tr.params)
+    b = jax.tree_util.tree_leaves(tr_ref.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
