@@ -77,8 +77,14 @@ def fold_batchnorm(module, variables) -> Tuple[Any, Dict[str, Any]]:
             "BN folding supports the ResNet family"
         )
     import flax
+    import jax
+    import jax.numpy as jnp
 
     params = flax.core.unfreeze(variables["params"])
     stats = flax.core.unfreeze(variables.get("batch_stats", {}))
     folded = _fold_level(params, stats)
+    # Device-resident leaves: the fold math runs in host numpy (f64); left
+    # as numpy, every apply() would re-upload the params — through the axon
+    # tunnel that is ~45 MB/call and dominates the runtime.
+    folded = jax.tree_util.tree_map(jnp.asarray, folded)
     return module.clone(folded=True), {"params": folded}
