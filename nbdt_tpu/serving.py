@@ -92,6 +92,7 @@ def export_serving(
     bf16: bool = True,
     platforms=("cpu", "tpu"),
     batch_symbol: str = "b",
+    fold_bn: bool = False,
 ) -> str:
     """Export the serving forward to a self-contained StableHLO artifact.
 
@@ -101,7 +102,7 @@ def export_serving(
     """
     from jax import export as jexport
 
-    fn = make_serving_fn(module, variables, tree, bf16=bf16)
+    fn = make_serving_fn(module, variables, tree, bf16=bf16, fold_bn=fold_bn)
     (b,) = jexport.symbolic_shape(batch_symbol)
     spec = jax.ShapeDtypeStruct((b, image_size, image_size, 3), jnp.float32)
     exported = jexport.export(jax.jit(fn), platforms=tuple(platforms))(spec)

@@ -117,3 +117,24 @@ def test_export_cli_random_init(tmp_path):
     got = np.asarray(served(jnp.zeros((3, 16, 16, 3), jnp.float32)))
     assert got.shape == (3, 10)
     assert np.isfinite(got).all()
+
+
+def test_export_folded_bn_argmax_parity(flagship, tmp_path):
+    """fold_bn=True exports the BN-folded graph (conv+bias+ReLU only) and
+    predictions still match the unfolded f32 path exactly."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.serving import export_serving, load_serving, make_serving_fn
+
+    module, variables, tree = flagship
+    path = str(tmp_path / "nbdt-folded.stablehlo")
+    export_serving(module, variables, tree, path, image_size=16,
+                   bf16=True, platforms=("cpu",), fold_bn=True)
+    served = load_serving(path)
+    f32 = make_serving_fn(module, variables, tree, bf16=False)
+
+    x = jnp.asarray(np.random.RandomState(2).randn(8, 16, 16, 3)
+                    .astype(np.float32))
+    got = np.asarray(served(x))
+    want = np.asarray(f32(x))
+    assert (got.argmax(1) == want.argmax(1)).all()
