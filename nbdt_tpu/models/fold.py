@@ -45,7 +45,14 @@ def _fold_level(params: Dict[str, Any], stats: Dict[str, Any]) -> Dict[str, Any]
                     f"conv {name!r} has no sibling BatchNorm to fold "
                     f"(found: {sorted(params)})"
                 )
-            st = stats[_bn_name_for(name)]
+            st = stats.get(_bn_name_for(name))
+            if st is None:
+                raise ValueError(
+                    f"no batch_stats for {_bn_name_for(name)!r}: folding "
+                    "needs the running mean/var — pass the full variables "
+                    "dict {'params': ..., 'batch_stats': ...}, not bare "
+                    "params"
+                )
             scale = np.asarray(bn["scale"], np.float64)
             beta = np.asarray(bn["bias"], np.float64)
             mean = np.asarray(st["mean"], np.float64)

@@ -48,7 +48,17 @@ def zero_sharding(mesh: Mesh, opt_state, min_elems: int = 1024):
     return jax.tree_util.tree_map(place, opt_state)
 
 
-def shard_opt_state(mesh: Mesh, opt_state, min_elems: int = 1024):
-    """Device-put ``opt_state`` with :func:`zero_sharding` placements."""
-    shardings = zero_sharding(mesh, opt_state, min_elems=min_elems)
-    return jax.tree_util.tree_map(jax.device_put, opt_state, shardings)
+def shard_opt_state(mesh: Mesh, opt_state, min_elems: int = 1024,
+                    shardings=None):
+    """Place ``opt_state`` with :func:`zero_sharding` placements (pass a
+    precomputed ``shardings`` pytree to reuse one). Valid on any process
+    count: multi-host meshes make the shardings non-fully-addressable, so
+    placement goes through ``host_array`` (every host holds the full
+    buffer and materializes its own shards), not raw ``device_put``."""
+    from .distributed import host_array
+
+    if shardings is None:
+        shardings = zero_sharding(mesh, opt_state, min_elems=min_elems)
+    return jax.tree_util.tree_map(
+        lambda leaf, sh: host_array(np.asarray(leaf), sh), opt_state, shardings
+    )

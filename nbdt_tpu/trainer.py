@@ -352,7 +352,10 @@ class Trainer:
             from .parallel.zero import shard_opt_state, zero_sharding
 
             self._opt_sharding = zero_sharding(mesh, self.opt_state)
-            self.opt_state = shard_opt_state(mesh, self.opt_state)
+            self.opt_state = shard_opt_state(
+                mesh, self.opt_state, shardings=self._opt_sharding
+            )
+            self._zero_mesh = mesh
             # Params stay replicated (ZeRO-1, not ZeRO-3): pin them, or
             # XLA's propagation shards them like the momentum.
             repl_m = replicate(mesh)
@@ -653,8 +656,10 @@ class Trainer:
         self.batch_stats = self._copy(payload["batch_stats"])
         self.opt_state = self.optimizer.init(self.params)
         if self._opt_sharding is not None:
-            self.opt_state = jax.tree_util.tree_map(
-                jax.device_put, self.opt_state, self._opt_sharding
+            from .parallel.zero import shard_opt_state
+
+            self.opt_state = shard_opt_state(
+                self._zero_mesh, self.opt_state, shardings=self._opt_sharding
             )
         if os.path.exists(meta_path):
             with open(meta_path) as f:

@@ -55,3 +55,14 @@ def test_fold_rejects_unsupported_topology():
     wrn = get_model("wrn28_10_cifar10", 10)
     with pytest.raises(TypeError, match="ResNet family"):
         fold_batchnorm(wrn, {"params": {}})
+
+
+def test_fold_without_batch_stats_is_a_clear_error():
+    """Bare params (no batch_stats) must fail with a message naming the
+    missing collection, not a raw KeyError deep in the recursion."""
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.models.fold import fold_batchnorm
+
+    module, variables = init_model("ResNet10", 10, (16, 16, 3))
+    with pytest.raises(ValueError, match="batch_stats"):
+        fold_batchnorm(module, {"params": variables["params"]})

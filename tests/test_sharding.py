@@ -160,7 +160,10 @@ def test_trainer_zero1_optimizer_sharding(synthetic_tree):
     # params stayed replicated
     assert tr.params["linear"]["kernel"].sharding.is_fully_replicated
 
-    # Identical math: final params match the replicated (zero=False) run.
+    # Same math to float tolerance: the momentum update is elementwise, but
+    # the sharding constraints change XLA's fusion/rewrite choices, so the
+    # replicated (zero=False) run matches to rounding, not bitwise
+    # (measured ~1e-12 absolute drift after one epoch).
     tr_ref = run(zero=False)
     a = jax.tree_util.tree_leaves(tr.params)
     b = jax.tree_util.tree_leaves(tr_ref.params)
