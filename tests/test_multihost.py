@@ -63,8 +63,11 @@ assert 0 <= acc <= 100
 # Mesh checkpoint/resume: save on every host (per-host dir), restore into a
 # fresh Trainer, and run another sharded step — Trainer.load must re-place
 # the restored host arrays on the mesh for the donated step to accept them.
+# zero=True makes this trainer also prove ZeRO-1 across hosts: the momentum
+# shardings are non-fully-addressable here, so both the init and the load
+# placement must go through host_array, not raw device_put.
 path = tr.save(epoch=1, acc=float(acc))
-tr2 = Trainer(cfg, module, variables, tl, vl, tree=tree, mesh=mesh)
+tr2 = Trainer(cfg, module, variables, tl, vl, tree=tree, mesh=mesh, zero=True)
 tr2.load(path)
 import numpy as np
 np.testing.assert_array_equal(
