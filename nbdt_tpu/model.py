@@ -75,6 +75,7 @@ class NBDT:
         checkpoint_path: Optional[str] = None,
         Rules=None,
         fused: bool = False,
+        fold_bn: bool = False,
     ):
         if dataset and not hierarchy and not path_graph and tree is None:
             assert arch, "Must specify `arch` if no `hierarchy` or `path_graph`"
@@ -129,7 +130,27 @@ class NBDT:
         self.rules = (Rules or self.Rules)(tree=tree)
 
         self.params = params
-        self.model = self._as_callable(model, params)
+        assert not (fused and fold_bn), (
+            "fused=True and fold_bn=True are separate serving paths; the "
+            "fused kernel consumes pre-pool features from the unfolded "
+            "module — pick one"
+        )
+        if fold_bn:
+            # Serving optimization (models/fold.py): BN affine baked into
+            # the conv weights, same predictions (exact argmax parity
+            # tested), one fewer op chain per conv. The UNFOLDED params stay
+            # on self.params — they remain the checkpoint/induction source
+            # of truth; only the forward callable uses the folded pair.
+            from .models.fold import fold_batchnorm
+
+            assert params is not None and hasattr(model, "apply"), (
+                "fold_bn=True needs a Flax module + params"
+            )
+            variables = params if "params" in params else {"params": params}
+            model, folded_vars = fold_batchnorm(model, variables)
+            self.model = self._as_callable(model, folded_vars)
+        else:
+            self.model = self._as_callable(model, params)
         # Opt-in fused serving path: backbone features + the Pallas
         # classifier-and-traversal kernel in one jitted program (soft rules
         # only; decisions/analyzers keep the jnp path).

@@ -66,3 +66,27 @@ def test_fold_without_batch_stats_is_a_clear_error():
     module, variables = init_model("ResNet10", 10, (16, 16, 3))
     with pytest.raises(ValueError, match="batch_stats"):
         fold_batchnorm(module, {"params": variables["params"]})
+
+
+def test_soft_nbdt_fold_bn_option(synthetic_tree):
+    """SoftNBDT(fold_bn=True): same predictions and working decision paths
+    through the public wrapper (the CLI/API entry point)."""
+    from nbdt_tpu.model import SoftNBDT
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    plain = SoftNBDT(dataset=None, model=module, tree=synthetic_tree,
+                     params=variables)
+    folded = SoftNBDT(dataset=None, model=module, tree=synthetic_tree,
+                      params=variables, fold_bn=True)
+    x = np.random.RandomState(0).randn(6, 16, 16, 3).astype(np.float32)
+    a, b = plain(x), folded(x)
+    assert (np.argmax(a, -1) == np.argmax(b, -1)).all()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    out, decisions = folded.forward_with_decisions(x)
+    assert len(decisions) == 6 and decisions[0][-1]["name"]
+    # unfolded params remain the source of truth on the wrapper
+    assert "bn1" in folded.params["params"]
+    with pytest.raises(AssertionError, match="pick one"):
+        SoftNBDT(dataset=None, model=module, tree=synthetic_tree,
+                 params=variables, fold_bn=True, fused=True)
