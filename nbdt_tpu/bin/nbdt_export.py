@@ -43,6 +43,10 @@ def get_parser() -> argparse.ArgumentParser:
                         help="fold BatchNorm into conv weights before "
                              "export (ResNet family; +2%% measured, exact "
                              "argmax parity)")
+    parser.add_argument("--uint8-input", action="store_true",
+                        help="artifact takes raw uint8 NHWC and normalizes "
+                             "on device with the dataset's constants (4x "
+                             "smaller request payloads)")
     parser.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                         help="force the local JAX backend for the export")
@@ -81,10 +85,26 @@ def main(argv=None):
             checkpoint_path=args.checkpoint,
         )
 
+    normalize = None
+    if args.uint8_input:
+        from ..data import transforms as T
+
+        normalize = {
+            "CIFAR10": (T.CIFAR_MEAN, T.CIFAR_STD),
+            "CIFAR100": (T.CIFAR_MEAN, T.CIFAR_STD),
+            "TinyImagenet200": (T.TINYIMAGENET_MEAN, T.TINYIMAGENET_STD),
+            "Imagenet1000": (T.IMAGENET_MEAN, T.IMAGENET_STD),
+        }.get(args.dataset)
+        if normalize is None:
+            raise SystemExit(
+                f"--uint8-input: no normalization constants for "
+                f"{args.dataset}; use the float-input export"
+            )
     path = export_serving(
         module, nbdt.params, nbdt.tree, args.out, image_size=size,
         bf16=not args.f32, platforms=tuple(args.platforms),
-        fold_bn=args.fold_bn,
+        fold_bn=args.fold_bn, uint8_input=args.uint8_input,
+        normalize=normalize,
     )
     import os
 

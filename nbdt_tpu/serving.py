@@ -42,6 +42,8 @@ def make_serving_fn(
     tree,
     bf16: bool = True,
     fold_bn: bool = False,
+    uint8_input: bool = False,
+    normalize=None,
 ) -> Callable:
     """Build the canonical serving forward: x [B,H,W,3] f32 -> leaf
     probability distribution [B, C] — the raw product of path
@@ -58,6 +60,12 @@ def make_serving_fn(
     (models.fold.fold_batchnorm — ResNet family only): the serving graph
     becomes pure conv+bias+ReLU and bf16 activations stay bf16 end-to-end
     instead of round-tripping through the f32 norm layers.
+
+    ``uint8_input`` accepts raw uint8 NHWC batches and normalizes ON DEVICE
+    — 4x fewer host->device bytes, which is the real serving bottleneck on
+    PCIe/tunnel transports. ``normalize`` is ``(mean, std)`` in [0,1] units
+    (e.g. ``data.transforms.CIFAR_MEAN/STD``); defaults to the CIFAR
+    constants the flagship config uses.
     """
     from .rules import soft_forward, to_device_tree
 
@@ -74,7 +82,21 @@ def make_serving_fn(
     if bf16 and hasattr(serving_module, "dtype"):
         serving_module = serving_module.clone(dtype=jnp.bfloat16)
 
+    if uint8_input:
+        if normalize is None:
+            from .data.transforms import CIFAR_MEAN, CIFAR_STD
+
+            normalize = (CIFAR_MEAN, CIFAR_STD)
+        mean = jnp.asarray(np.asarray(normalize[0], np.float32) * 255.0)
+        # Scale folded into one multiplier: (x/255 - m)/s == x*inv - m*255*inv
+        inv = jnp.asarray(1.0 / (np.asarray(normalize[1], np.float32) * 255.0))
+
     def fn(x):
+        if uint8_input:
+            # f32 affine, THEN the bf16 cast — same rounding as the host
+            # normalize + cast path (bf16-normalizing 0..255 inputs first
+            # would quantize differently).
+            x = (x.astype(jnp.float32) - mean) * inv
         if bf16:
             x = x.astype(jnp.bfloat16)
         logits = serving_module.apply(variables, x, train=False)
@@ -93,18 +115,26 @@ def export_serving(
     platforms=("cpu", "tpu"),
     batch_symbol: str = "b",
     fold_bn: bool = False,
+    uint8_input: bool = False,
+    normalize=None,
 ) -> str:
     """Export the serving forward to a self-contained StableHLO artifact.
 
     The batch dimension is symbolic: the one artifact serves any batch
     size. Returns ``path``. Load with :func:`load_serving` — no model
     code, checkpoint, or hierarchy JSON needed at load time.
+    ``uint8_input`` bakes on-device normalization in and makes the artifact
+    take raw uint8 NHWC (4x smaller request payloads).
     """
     from jax import export as jexport
 
-    fn = make_serving_fn(module, variables, tree, bf16=bf16, fold_bn=fold_bn)
+    fn = make_serving_fn(module, variables, tree, bf16=bf16, fold_bn=fold_bn,
+                         uint8_input=uint8_input, normalize=normalize)
     (b,) = jexport.symbolic_shape(batch_symbol)
-    spec = jax.ShapeDtypeStruct((b, image_size, image_size, 3), jnp.float32)
+    spec = jax.ShapeDtypeStruct(
+        (b, image_size, image_size, 3),
+        jnp.uint8 if uint8_input else jnp.float32,
+    )
     exported = jexport.export(jax.jit(fn), platforms=tuple(platforms))(spec)
     data = exported.serialize()
     parent = os.path.dirname(os.path.abspath(path))

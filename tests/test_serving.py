@@ -138,3 +138,26 @@ def test_export_folded_bn_argmax_parity(flagship, tmp_path):
     got = np.asarray(served(x))
     want = np.asarray(f32(x))
     assert (got.argmax(1) == want.argmax(1)).all()
+
+
+def test_export_uint8_input_matches_float_path(flagship, tmp_path):
+    """uint8_input=True bakes on-device normalization in: feeding raw uint8
+    must equal the float path fed the same host-normalized pixels."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.data.transforms import CIFAR_MEAN, CIFAR_STD, normalize
+    from nbdt_tpu.serving import export_serving, load_serving, make_serving_fn
+
+    module, variables, tree = flagship
+    path = str(tmp_path / "nbdt-u8.stablehlo")
+    export_serving(module, variables, tree, path, image_size=16,
+                   bf16=False, platforms=("cpu",), uint8_input=True,
+                   normalize=(CIFAR_MEAN, CIFAR_STD))
+    served = load_serving(path)
+    live = make_serving_fn(module, variables, tree, bf16=False)
+
+    u8 = np.random.RandomState(3).randint(0, 256, (4, 16, 16, 3),
+                                          dtype=np.uint8)
+    got = np.asarray(served(jnp.asarray(u8)))
+    want = np.asarray(live(jnp.asarray(normalize(u8, CIFAR_MEAN, CIFAR_STD))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
