@@ -1,0 +1,97 @@
+"""Topology fuzz: random tree shapes (skewed, deep, wide, mixed branching)
+must match the numpy oracle (reference model.py:84-242 / loss.py:213-266
+semantics) for soft/hard traversal and both tree losses.
+
+The fixed parity suites cover the synthetic 7-leaf tree and the shipped
+CIFAR10 graphs; this sweeps the topology space those fixtures can't —
+degenerate chains, fat stars, unbalanced merges — with seeded generation so
+failures replay.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from oracle import (
+    oracle_hard_traverse,
+    oracle_hard_tree_sup_loss,
+    oracle_soft_traverse,
+    oracle_soft_tree_sup_loss,
+)
+
+
+def random_tree(seed: int, num_leaves: int):
+    """Random single-rooted tree over ``num_leaves`` classes: repeatedly
+    merge 2-4 random pool nodes under a fresh parent (insertion order =
+    child order, the load-bearing contract)."""
+    from nbdt_tpu.hierarchy.digraph import Digraph
+    from nbdt_tpu.tree import Tree
+
+    rnd = random.Random(seed)
+    G = Digraph()
+    leaves = [f"f{i:08d}" for i in range(num_leaves)]
+    for i, wnid in enumerate(leaves):
+        G.add_node(wnid, label=f"leaf{i}")
+    pool = list(leaves)
+    next_id = num_leaves
+    while len(pool) > 1:
+        k = min(len(pool), rnd.randint(2, 4))
+        children = [pool.pop(rnd.randrange(len(pool))) for _ in range(k)]
+        parent = f"f{next_id:08d}"
+        next_id += 1
+        G.add_node(parent, label=f"inner{next_id}")
+        for c in children:
+            G.add_edge(parent, c)
+        pool.append(parent)
+    return Tree.from_graph(G, leaves,
+                           classes=[f"c{i}" for i in range(num_leaves)])
+
+
+@pytest.mark.parametrize("seed,num_leaves", [
+    (0, 2),       # minimal: one decision
+    (1, 3),       # one ternary or chain-of-binary
+    (2, 10),
+    (3, 17),      # prime -> unbalanced merges
+    (4, 40),      # deeper/wider mix
+])
+def test_fuzzed_topology_matches_oracle(seed, num_leaves):
+    from nbdt_tpu.rules import (
+        HardEmbeddedDecisionRules,
+        SoftEmbeddedDecisionRules,
+    )
+
+    tree = random_tree(seed, num_leaves)
+    rng = np.random.RandomState(seed)
+    x = (rng.randn(16, num_leaves) * 3.0).astype(np.float32)
+
+    soft = np.asarray(SoftEmbeddedDecisionRules(tree=tree)(x))
+    ref_soft = oracle_soft_traverse(x.astype(np.float64), tree)
+    np.testing.assert_allclose(soft, ref_soft, rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(soft.argmax(1), ref_soft.argmax(1))
+
+    hard = np.asarray(HardEmbeddedDecisionRules(tree=tree)(x))
+    ref_hard = oracle_hard_traverse(x.astype(np.float64), tree)
+    np.testing.assert_array_equal(hard.argmax(1), np.asarray(ref_hard))
+
+
+@pytest.mark.parametrize("seed,num_leaves", [(5, 9), (6, 23)])
+def test_fuzzed_topology_losses_match_oracle(seed, num_leaves):
+    import jax.numpy as jnp
+
+    from nbdt_tpu.losses import hard_tree_sup_loss, soft_tree_sup_loss
+    from nbdt_tpu.rules import to_device_tree
+
+    tree = random_tree(seed, num_leaves)
+    jt = to_device_tree(tree.arrays)
+    rng = np.random.RandomState(seed)
+    x = (rng.randn(16, num_leaves) * 3.0).astype(np.float32)
+    y = rng.randint(0, num_leaves, 16).astype(np.int32)
+
+    ours_soft = float(soft_tree_sup_loss(jnp.asarray(x), jnp.asarray(y), jt))
+    ref_soft = oracle_soft_tree_sup_loss(x.astype(np.float64), y, tree)
+    np.testing.assert_allclose(ours_soft, ref_soft, rtol=1e-4)
+
+    ours_hard = float(hard_tree_sup_loss(jnp.asarray(x), jnp.asarray(y), jt))
+    ref_hard = oracle_hard_tree_sup_loss(x.astype(np.float64), y, tree)
+    np.testing.assert_allclose(ours_hard, ref_hard, rtol=1e-4)
