@@ -102,7 +102,22 @@ def test_two_process_mesh_train_step(tmp_path):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    # Generous budget: each worker compiles TWO sharded train steps (the
+    # plain and the zero=True trainer) on the CPU backend; measured ~2 min
+    # on an idle box but >4 min under suite-level CPU contention. On
+    # timeout, kill and surface the partial output instead of a bare
+    # TimeoutExpired.
+    outs = []
+    for p in procs:
+        try:
+            outs.append(p.communicate(timeout=1200)[0])
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            partial = p.communicate()[0]
+            raise AssertionError(
+                f"worker timed out; partial output:\n{partial[-3000:]}"
+            )
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
     losses = {}
