@@ -89,12 +89,14 @@ class TinyImagenet200(ArrayDataset):
             zf.extractall(root)
 
     @classmethod
-    def transform_train(cls, seed: int = 0):
-        return make_train_transform(cls.mean, cls.std, crop_pad=4, seed=seed)
+    def transform_train(cls, seed: int = 0, device_normalize: bool = False):
+        return make_train_transform(cls.mean, cls.std, crop_pad=4, seed=seed,
+                                    device_normalize=device_normalize)
 
     @classmethod
-    def transform_val(cls):
-        return make_val_transform(cls.mean, cls.std)
+    def transform_val(cls, device_normalize: bool = False):
+        return make_val_transform(cls.mean, cls.std,
+                                  device_normalize=device_normalize)
 
     @classmethod
     def transform_val_inverse(cls):
@@ -141,12 +143,14 @@ class Imagenet1000:
         return np.asarray(img, dtype=np.uint8), label
 
     @classmethod
-    def transform_train(cls, seed: int = 0):
-        return make_train_transform(cls.mean, cls.std, crop_pad=0, seed=seed)
+    def transform_train(cls, seed: int = 0, device_normalize: bool = False):
+        return make_train_transform(cls.mean, cls.std, crop_pad=0, seed=seed,
+                                    device_normalize=device_normalize)
 
     @classmethod
-    def transform_val(cls):
-        return make_val_transform(cls.mean, cls.std)
+    def transform_val(cls, device_normalize: bool = False):
+        return make_val_transform(cls.mean, cls.std,
+                                  device_normalize=device_normalize)
 
     @classmethod
     def transform_val_inverse(cls):

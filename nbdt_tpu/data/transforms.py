@@ -93,20 +93,26 @@ def apply_augment_numpy(
     return normalize(out, mean, std)
 
 
-def make_train_transform(mean, std, crop_pad: int = 4, hflip: bool = True, seed: int = 0):
+def make_train_transform(mean, std, crop_pad: int = 4, hflip: bool = True,
+                         seed: int = 0, device_normalize: bool = False):
     """Fused train-time augmentation. Uses the native C++ kernel when
     available (single pass, OpenMP), else the vectorized numpy path; both
-    consume identical RNG draws so results match bit-for-bit."""
+    consume identical RNG draws so results match bit-for-bit.
+
+    ``device_normalize=True`` keeps the output uint8 (crop/flip only) so the
+    loader ships 4x fewer bytes to the device and the jitted step normalizes
+    there (Trainer ``device_normalize=``) — the transfer, not the float
+    conversion, is what bounds PCIe/tunnel-attached training."""
     from .. import native
 
     rng = np.random.RandomState(seed)
     mean = np.asarray(mean, dtype=np.float32)
     std = np.asarray(std, dtype=np.float32)
-    use_native = native.available()
+    use_native = native.available() and not device_normalize
 
     def transform(batch_u8: np.ndarray) -> np.ndarray:
         if not crop_pad and not hflip:
-            return normalize(batch_u8, mean, std)
+            return batch_u8 if device_normalize else normalize(batch_u8, mean, std)
         if use_native:
             out = native.augment_batch(batch_u8, crop_pad, mean, std, rng,
                                        hflip=hflip)
@@ -119,18 +125,35 @@ def make_train_transform(mean, std, crop_pad: int = 4, hflip: bool = True, seed:
             (rng.rand(n) < 0.5).astype(np.uint8)
             if hflip else np.zeros(n, dtype=np.uint8)
         )
+        if device_normalize:
+            return augment_uint8(batch_u8, crop_pad, ys, xs, flips)
         return apply_augment_numpy(batch_u8, crop_pad, ys, xs, flips, mean, std)
 
     return transform
 
 
-def make_val_transform(mean, std):
+def augment_uint8(batch_u8, pad, ys, xs, flips) -> np.ndarray:
+    """pad+crop+flip in uint8 (no normalize) — the device-normalize twin of
+    :func:`apply_augment_numpy`, identical offsets/flips semantics."""
+    n, h, w, c = batch_u8.shape
+    padded = np.pad(batch_u8, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    out = np.empty((n, h, w, c), dtype=np.uint8)
+    for i in range(n):
+        out[i] = padded[i, ys[i] : ys[i] + h, xs[i] : xs[i] + w]
+    fl = flips.astype(bool)
+    out[fl] = out[fl, :, ::-1]
+    return out
+
+
+def make_val_transform(mean, std, device_normalize: bool = False):
     from .. import native
 
     mean = np.asarray(mean, dtype=np.float32)
     std = np.asarray(std, dtype=np.float32)
 
     def transform(batch_u8: np.ndarray) -> np.ndarray:
+        if device_normalize:
+            return batch_u8
         out = native.normalize_batch(batch_u8, mean, std)
         return out if out is not None else normalize(batch_u8, mean, std)
 

@@ -86,6 +86,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--zero", action="store_true",
                         help="ZeRO-1: shard optimizer momentum 1/|dp| per "
                              "device (requires --mesh)")
+    parser.add_argument("--device-normalize", action="store_true",
+                        help="ship raw uint8 batches and normalize on "
+                             "device (4x fewer host->device bytes)")
     # multi-host bootstrap (reference: ClassyVision DDP via
     # torch.distributed.launch, examples/imagenet/classy_train.py:93-106)
     parser.add_argument("--multihost", action="store_true",
@@ -283,10 +286,17 @@ def main(argv=None):
     n_procs = jax.process_count() if args.multihost else 1
     proc_id = jax.process_index() if args.multihost else 0
     local_bs = max(1, args.batch_size // n_procs)
+    device_normalize = None
+    if args.device_normalize:
+        if not (hasattr(trainset, "mean") and hasattr(trainset, "std")):
+            parser.error(f"--device-normalize: {args.dataset} exposes no "
+                         "mean/std normalization constants")
+        device_normalize = (trainset.mean, trainset.std)
+    dn = {"device_normalize": True} if device_normalize else {}
     trainloader = PrefetchLoader(DataLoader(
         trainset, local_bs, shuffle=True,
-        transform=trainset.transform_train() if hasattr(trainset, "transform_train")
-        else None,
+        transform=trainset.transform_train(**dn)
+        if hasattr(trainset, "transform_train") else None,
         # Reference parity: torch's DataLoader trains on the final partial
         # batch (drop_last=False, main.py:136-141). The smaller last batch
         # costs ONE extra jit trace (cached across epochs). Mesh runs keep
@@ -296,8 +306,8 @@ def main(argv=None):
     ))
     testloader = DataLoader(
         testset, local_bs, shuffle=False,
-        transform=testset.transform_val() if hasattr(testset, "transform_val")
-        else None,
+        transform=testset.transform_val(**dn)
+        if hasattr(testset, "transform_val") else None,
         drop_last=False, pad_last=True,
         num_shards=n_procs, shard_id=proc_id,
     )
@@ -319,6 +329,7 @@ def main(argv=None):
     trainer = Trainer(
         config, module, variables, trainloader, testloader, tree=tree,
         analyzer=analyzer, show_progress=True, mesh=mesh, zero=args.zero,
+        device_normalize=device_normalize,
         inverse_transform=testset.transform_val_inverse()
         if hasattr(testset, "transform_val_inverse") else None,
     )
