@@ -298,6 +298,26 @@ def make_eval_step(module, normalize=None):
     return step
 
 
+def make_eval_count_step(module, k: int, normalize=None):
+    """Jitted top-k hit counting: returns device scalars (hits, count) so
+    the eval loop never syncs per batch (the host pulls two ints once per
+    eval). Padded samples are masked by ``valid``."""
+    prologue = _normalize_prologue(normalize)
+
+    @jax.jit
+    def step(params, batch_stats, x, y, valid):
+        logits = module.apply(
+            {"params": params, "batch_stats": batch_stats}, prologue(x),
+            train=False,
+        )
+        kk = min(k, logits.shape[-1])
+        _, topk = jax.lax.top_k(logits, kk)
+        hits = (topk == y[:, None]).any(-1) & valid
+        return hits.sum(), valid.sum()
+
+    return step
+
+
 class Trainer:
     """End-to-end trainer (reference main.py semantics)."""
 
@@ -560,6 +580,33 @@ class Trainer:
         from . import metrics
 
         metric = getattr(metrics, self.config.metric)()
+        if (self.analyzer is None and self.mesh is None
+                and not self.config.disable_test_eval
+                and isinstance(metric, metrics.TopK)):
+            # Sync-free fast path: nothing consumes per-batch host values,
+            # so count top-k hits on device and pull two ints at the end —
+            # per-batch logits transfers cost one transport RTT each, which
+            # dominates eval on high-RTT links (see train_epoch).
+            if getattr(self, "_count_k", None) != metric.k:
+                self._count_k = metric.k
+                self._count_step = make_eval_count_step(
+                    self.module, metric.k, normalize=self.device_normalize
+                )
+            hits = total = None
+            for x, y, valid in self.testloader:
+                h, t = self._count_step(
+                    self.params, self.batch_stats, self._put(x),
+                    jnp.asarray(np.asarray(y)), jnp.asarray(np.asarray(valid)),
+                )
+                hits = h if hits is None else hits + h
+                total = t if total is None else total + t
+            metric.correct = int(hits) if hits is not None else 0
+            metric.total = int(total) if total is not None else 0
+            acc = metric.report() * 100.0
+            if checkpoint and acc > self.best_acc:
+                self.best_acc = acc
+                self.save(epoch, acc)
+            return acc
         if self.analyzer is not None:
             self.analyzer.start_test(epoch)
         for x, y, valid in self.testloader:

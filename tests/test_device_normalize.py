@@ -71,3 +71,29 @@ def test_device_normalize_matches_host_path(setup, tmp_path):
     ah = host.evaluate(0, checkpoint=False)
     ad = dev.evaluate(0, checkpoint=False)
     assert ah == ad
+
+
+def test_eval_device_count_fast_path_matches_host_metric(setup, tmp_path):
+    """evaluate()'s sync-free device-count path must equal the host-side
+    TopK accumulation over the same logits (k=1 and k=5)."""
+    import numpy as np
+
+    from nbdt_tpu import metrics
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+
+    module, variables, tree, _ = setup
+    ds = SyntheticDataset(num_classes=7, size=20, image_size=16)
+
+    for name in ("top1", "top5"):
+        tr = _trainer(module, variables, tree, ds, tmp_path / name, False)
+        tr.config.metric = name
+        tr.testloader = DataLoader(ds, 8, transform=ds.transform_val(),
+                                   drop_last=False, pad_last=True)
+        acc_fast = tr.evaluate(0, checkpoint=False)
+
+        ref = getattr(metrics, name)()
+        for x, y, valid in tr.testloader:
+            logits = np.asarray(tr.eval_step(tr.params, tr.batch_stats,
+                                             tr._put(x)))
+            ref.forward(logits[valid], np.asarray(y)[valid])
+        assert acc_fast == ref.report() * 100.0
