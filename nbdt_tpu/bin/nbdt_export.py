@@ -87,19 +87,19 @@ def main(argv=None):
 
     normalize = None
     if args.uint8_input:
-        from ..data import transforms as T
+        # The dataset classes own their normalization constants (class
+        # attrs; same source --device-normalize uses) — no parallel table
+        # to fall out of sync.
+        from .. import data
 
-        normalize = {
-            "CIFAR10": (T.CIFAR_MEAN, T.CIFAR_STD),
-            "CIFAR100": (T.CIFAR_MEAN, T.CIFAR_STD),
-            "TinyImagenet200": (T.TINYIMAGENET_MEAN, T.TINYIMAGENET_STD),
-            "Imagenet1000": (T.IMAGENET_MEAN, T.IMAGENET_STD),
-        }.get(args.dataset)
-        if normalize is None:
+        ds_cls = getattr(data, args.dataset, None)
+        if ds_cls is None or not (hasattr(ds_cls, "mean")
+                                  and hasattr(ds_cls, "std")):
             raise SystemExit(
                 f"--uint8-input: no normalization constants for "
                 f"{args.dataset}; use the float-input export"
             )
+        normalize = (ds_cls.mean, ds_cls.std)
     path = export_serving(
         module, nbdt.params, nbdt.tree, args.out, image_size=size,
         bf16=not args.f32, platforms=tuple(args.platforms),

@@ -40,6 +40,20 @@ def _expose_flat_arrays(wrapper, dataset) -> None:
             wrapper.dataset = dataset.dataset
 
 
+def _forward_to_wrapped(self, name):
+    """Wrapper ``__getattr__``: surface the wrapped dataset's API the
+    wrapper doesn't redefine — ``transform_train``/``transform_val``/
+    ``transform_val_inverse``, ``mean``/``std`` — so wrapped runs keep the
+    base dataset's transforms and normalization constants (the reference
+    reaches them via generate_kwargs on the base class; without this,
+    ``--include-labels`` runs silently trained on raw un-normalized
+    pixels and ``--device-normalize`` refused datasets that have
+    perfectly good constants)."""
+    if name.startswith("_") or name == "dataset":
+        raise AttributeError(name)
+    return getattr(self.__dict__["dataset"], name)
+
+
 class ResampleLabelsDataset:
     """Per-class inclusion probability with seeded index remap
     (reference custom.py:44-118).
@@ -77,6 +91,8 @@ class ResampleLabelsDataset:
     def __getitem__(self, i):
         return self.dataset[int(self.new_to_old[i])]
 
+    __getattr__ = _forward_to_wrapped
+
 
 class IncludeLabelsDataset:
     """Keep only samples whose label is in ``include_labels``; labels are
@@ -96,6 +112,8 @@ class IncludeLabelsDataset:
 
     def __getitem__(self, i):
         return self.dataset[int(self.new_to_old[i])]
+
+    __getattr__ = _forward_to_wrapped
 
 
 class ExcludeLabelsDataset(IncludeLabelsDataset):

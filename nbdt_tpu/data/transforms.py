@@ -83,14 +83,7 @@ def apply_augment_numpy(
     """Reference-semantics pad+crop+flip+normalize with explicit offsets —
     the numpy twin of the native kernel (nbdt_tpu/native/augment.cpp), used
     as its fallback and its parity oracle."""
-    n, h, w, c = batch_u8.shape
-    padded = np.pad(batch_u8, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    out = np.empty((n, h, w, c), dtype=np.uint8)
-    for i in range(n):
-        out[i] = padded[i, ys[i] : ys[i] + h, xs[i] : xs[i] + w]
-    fl = flips.astype(bool)
-    out[fl] = out[fl, :, ::-1]
-    return normalize(out, mean, std)
+    return normalize(augment_uint8(batch_u8, pad, ys, xs, flips), mean, std)
 
 
 def make_train_transform(mean, std, crop_pad: int = 4, hflip: bool = True,

@@ -89,6 +89,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--device-normalize", action="store_true",
                         help="ship raw uint8 batches and normalize on "
                              "device (4x fewer host->device bytes)")
+    parser.add_argument("--no-progress", action="store_true",
+                        help="disable the per-step progress bar; required "
+                             "to reach the sync-free train loop's full "
+                             "rate on high-RTT transports (the bar costs "
+                             "one host sync per step)")
     # multi-host bootstrap (reference: ClassyVision DDP via
     # torch.distributed.launch, examples/imagenet/classy_train.py:93-106)
     parser.add_argument("--multihost", action="store_true",
@@ -286,12 +291,17 @@ def main(argv=None):
     n_procs = jax.process_count() if args.multihost else 1
     proc_id = jax.process_index() if args.multihost else 0
     local_bs = max(1, args.batch_size // n_procs)
-    device_normalize = None
+    device_normalize = device_normalize_eval = None
     if args.device_normalize:
-        if not (hasattr(trainset, "mean") and hasattr(trainset, "std")):
-            parser.error(f"--device-normalize: {args.dataset} exposes no "
-                         "mean/std normalization constants")
+        for ds_obj, which in ((trainset, args.dataset),
+                              (testset, args.dataset_test or args.dataset)):
+            if not (hasattr(ds_obj, "mean") and hasattr(ds_obj, "std")):
+                parser.error(f"--device-normalize: {which} exposes no "
+                             "mean/std normalization constants")
         device_normalize = (trainset.mean, trainset.std)
+        # The test set normalizes with ITS OWN constants (matches the host
+        # transform_val path — they differ in zero-shot --dataset-test runs).
+        device_normalize_eval = (testset.mean, testset.std)
     dn = {"device_normalize": True} if device_normalize else {}
     trainloader = PrefetchLoader(DataLoader(
         trainset, local_bs, shuffle=True,
@@ -328,8 +338,10 @@ def main(argv=None):
         parser.error("--zero requires --mesh")
     trainer = Trainer(
         config, module, variables, trainloader, testloader, tree=tree,
-        analyzer=analyzer, show_progress=True, mesh=mesh, zero=args.zero,
+        analyzer=analyzer, show_progress=not args.no_progress, mesh=mesh,
+        zero=args.zero,
         device_normalize=device_normalize,
+        device_normalize_eval=device_normalize_eval,
         inverse_transform=testset.transform_val_inverse()
         if hasattr(testset, "transform_val_inverse") else None,
     )

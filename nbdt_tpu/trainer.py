@@ -337,6 +337,7 @@ class Trainer:
         inverse_transform: Optional[Callable] = None,
         zero: bool = False,
         device_normalize=None,
+        device_normalize_eval=None,
     ):
         """``mesh``: optional jax.sharding.Mesh with a "dp" axis. When given,
         the trainer replicates params over the mesh and shards every batch's
@@ -349,7 +350,10 @@ class Trainer:
 
         ``device_normalize``: ``(mean, std)`` in [0,1] units — loaders ship
         RAW UINT8 batches (transform_*(device_normalize=True)) and both
-        jitted steps normalize on device (4x fewer host->device bytes)."""
+        jitted steps normalize on device (4x fewer host->device bytes).
+        ``device_normalize_eval`` overrides the eval-side constants (the
+        test set's own — they differ in zero-shot --dataset-test runs);
+        defaults to ``device_normalize``."""
         self.show_progress = show_progress
         self.config = config
         self.module = module
@@ -396,6 +400,10 @@ class Trainer:
 
         self.criterion_fn = criterion_fn
         self.device_normalize = device_normalize
+        self.device_normalize_eval = (
+            device_normalize_eval if device_normalize_eval is not None
+            else device_normalize
+        )
         self.optimizer = make_optimizer(config, len(trainloader))
         self.opt_state = self.optimizer.init(self.params)
         self._opt_sharding = None
@@ -420,7 +428,9 @@ class Trainer:
             config.loss == "SoftTreeLoss" and config.tree_start_epochs > 0
         )
         self.train_step = self._make_step(jt)
-        self.eval_step = make_eval_step(module, normalize=device_normalize)
+        self.eval_step = make_eval_step(
+            module, normalize=self.device_normalize_eval
+        )
         self.best_acc = 0.0
         self.start_epoch = 0
 
@@ -580,17 +590,19 @@ class Trainer:
         from . import metrics
 
         metric = getattr(metrics, self.config.metric)()
-        if (self.analyzer is None and self.mesh is None
+        fast = (self.analyzer is None and self.mesh is None
                 and not self.config.disable_test_eval
-                and isinstance(metric, metrics.TopK)):
+                and isinstance(metric, metrics.TopK))
+        if fast:
             # Sync-free fast path: nothing consumes per-batch host values,
             # so count top-k hits on device and pull two ints at the end —
             # per-batch logits transfers cost one transport RTT each, which
-            # dominates eval on high-RTT links (see train_epoch).
+            # dominates eval on high-RTT links (see train_epoch). Falls
+            # through to the shared report/checkpoint tail below.
             if getattr(self, "_count_k", None) != metric.k:
                 self._count_k = metric.k
                 self._count_step = make_eval_count_step(
-                    self.module, metric.k, normalize=self.device_normalize
+                    self.module, metric.k, normalize=self.device_normalize_eval
                 )
             hits = total = None
             for x, y, valid in self.testloader:
@@ -602,11 +614,7 @@ class Trainer:
                 total = t if total is None else total + t
             metric.correct = int(hits) if hits is not None else 0
             metric.total = int(total) if total is not None else 0
-            acc = metric.report() * 100.0
-            if checkpoint and acc > self.best_acc:
-                self.best_acc = acc
-                self.save(epoch, acc)
-            return acc
+            return self._finish_eval(metric, epoch, checkpoint)
         if self.analyzer is not None:
             self.analyzer.start_test(epoch)
         for x, y, valid in self.testloader:
@@ -644,9 +652,14 @@ class Trainer:
                     self._allreduce_counts(an)
                 elif hasattr(getattr(an, "metric", None), "correct"):
                     self._allreduce_counts(an.metric)
-        acc = metric.report() * 100.0
         if self.analyzer is not None:
             self.analyzer.end_test(epoch)
+        return self._finish_eval(metric, epoch, checkpoint)
+
+    def _finish_eval(self, metric, epoch: int, checkpoint: bool) -> float:
+        """Shared eval tail: report + best-accuracy checkpoint policy (one
+        copy, whichever batch loop filled the metric)."""
+        acc = metric.report() * 100.0
         if checkpoint and acc > self.best_acc:
             self.best_acc = acc
             self.save(epoch, acc)

@@ -58,6 +58,12 @@ def test_device_normalize_matches_host_path(setup, tmp_path):
     host = _trainer(module, variables, tree, ds, tmp_path / "h", False)
     dev = _trainer(module, variables, tree, ds, tmp_path / "d", True)
 
+    # eval on IDENTICAL params (before any update): accuracy must match
+    # exactly — argmax is robust to the affine's float association.
+    ah = host.evaluate(0, checkpoint=False)
+    ad = dev.evaluate(0, checkpoint=False)
+    assert ah == ad
+
     # first step: identical params, inputs equal to float association
     mh = host.train_epoch(0)
     md = dev.train_epoch(0)
@@ -67,10 +73,6 @@ def test_device_normalize_matches_host_path(setup, tmp_path):
     mh = host.train_epoch(1)
     md = dev.train_epoch(1)
     np.testing.assert_allclose(md["loss"], mh["loss"], rtol=1e-3)
-
-    ah = host.evaluate(0, checkpoint=False)
-    ad = dev.evaluate(0, checkpoint=False)
-    assert ah == ad
 
 
 def test_eval_device_count_fast_path_matches_host_metric(setup, tmp_path):
@@ -97,3 +99,27 @@ def test_eval_device_count_fast_path_matches_host_metric(setup, tmp_path):
                                              tr._put(x)))
             ref.forward(logits[valid], np.asarray(y)[valid])
         assert acc_fast == ref.report() * 100.0
+
+
+def test_label_subset_wrappers_forward_dataset_surface():
+    """Include/Exclude/Resample wrappers forward transforms and
+    normalization constants to the wrapped dataset (reference reaches them
+    via the base class; without forwarding, wrapped runs silently trained
+    on raw pixels and --device-normalize refused valid datasets)."""
+    from nbdt_tpu.data import SyntheticDataset
+    from nbdt_tpu.data.custom import (
+        IncludeLabelsDataset,
+        ResampleLabelsDataset,
+    )
+
+    ds = SyntheticDataset(num_classes=7, size=16, image_size=16)
+    w = IncludeLabelsDataset(ds, [0, 1, 2])
+    assert np.allclose(w.mean, ds.mean)
+    assert callable(w.transform_train)
+    x = w.transform_val(device_normalize=True)(
+        np.zeros((2, 16, 16, 3), np.uint8))
+    assert x.dtype == np.uint8
+    r = ResampleLabelsDataset(ds, 0.5)
+    assert np.allclose(r.std, ds.std)
+    with pytest.raises(AttributeError):
+        r.not_a_dataset_attr

@@ -114,8 +114,14 @@ def _launch_workers(tmp_path):
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            partial = p.communicate()[0]
-            return None, f"worker timed out; partial output:\n{partial[-3000:]}"
+            # Reap BOTH workers: the sibling often holds the actual error
+            # (and an un-communicated kill leaks a zombie + open pipe).
+            partials = [
+                q.communicate()[0] if q.stdout and not q.stdout.closed else ""
+                for q in procs
+            ]
+            report = "\n---\n".join(p[-1500:] for p in partials)
+            return None, f"worker timed out; partial outputs:\n{report}"
     for p, out in zip(procs, outs):
         if p.returncode != 0:
             return None, f"worker rc={p.returncode}:\n{out[-3000:]}"
