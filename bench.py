@@ -349,6 +349,9 @@ def bench_torch() -> float:
 
 
 def main():
+    from nbdt_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # cuts cross-session backbone recompiles
     if "--fused-only" in sys.argv:
         bench_jax_fused_only()
         return

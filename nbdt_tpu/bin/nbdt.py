@@ -54,9 +54,10 @@ def main(argv=None):
     if args.random_init and args.checkpoint:
         parser.error("--random-init and --checkpoint are mutually exclusive")
 
-    from ..utils import maybe_set_platform
+    from ..utils import enable_compilation_cache, maybe_set_platform
 
     maybe_set_platform(args.platform)
+    enable_compilation_cache()
 
     from ..model import HardNBDT, SoftNBDT
     from ..models import get_model, init_model

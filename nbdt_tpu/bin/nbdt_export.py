@@ -56,9 +56,10 @@ def get_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = get_parser().parse_args(argv)
 
-    from ..utils import maybe_set_platform
+    from ..utils import enable_compilation_cache, maybe_set_platform
 
     maybe_set_platform(args.platform)
+    enable_compilation_cache()
 
     from ..model import SoftNBDT
     from ..models import get_model, init_model

@@ -95,9 +95,10 @@ def get_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = get_parser().parse_args(argv)
 
-    from ..utils import maybe_set_platform
+    from ..utils import enable_compilation_cache, maybe_set_platform
 
     maybe_set_platform(args.platform)
+    enable_compilation_cache()
 
     from ..assets import get_dataset_wnids
     from ..hierarchy.generate import generate_hierarchy, test_hierarchy

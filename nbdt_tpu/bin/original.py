@@ -20,9 +20,10 @@ def main(argv=None):
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = parser.parse_args(argv)
 
-    from ..utils import maybe_set_platform
+    from ..utils import enable_compilation_cache, maybe_set_platform
 
     maybe_set_platform(args.platform)
+    enable_compilation_cache()
 
     from ..bin.nbdt import preprocess
     from ..models import get_model, make_eval_fn

