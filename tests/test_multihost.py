@@ -106,25 +106,28 @@ def _launch_workers(tmp_path):
     ]
     # Generous budget: each worker compiles TWO sharded train steps (the
     # plain and the zero=True trainer) on the CPU backend; measured ~2 min
-    # on an idle box but >4 min under suite-level CPU contention.
-    outs = []
+    # on an idle box but >4 min under suite-level CPU contention. Poll both
+    # rather than blocking on one: when a worker dies, its sibling hangs in
+    # the next distributed collective with no timeout of its own — waiting
+    # out the full budget for it just burns 20 minutes (observed).
+    import time
+
+    deadline = time.monotonic() + 1200
+    while time.monotonic() < deadline:
+        codes = [p.poll() for p in procs]
+        if all(c is not None for c in codes):
+            break  # both exited
+        if any(c is not None and c != 0 for c in codes):
+            break  # one failed -> kill the blocked survivor now
+        time.sleep(2)
     for p in procs:
-        try:
-            outs.append(p.communicate(timeout=1200)[0])
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            # Reap BOTH workers: the sibling often holds the actual error
-            # (and an un-communicated kill leaks a zombie + open pipe).
-            partials = [
-                q.communicate()[0] if q.stdout and not q.stdout.closed else ""
-                for q in procs
-            ]
-            report = "\n---\n".join(p[-1500:] for p in partials)
-            return None, f"worker timed out; partial outputs:\n{report}"
+        if p.poll() is None:
+            p.kill()
+    outs = [p.communicate()[0] for p in procs]
     for p, out in zip(procs, outs):
         if p.returncode != 0:
-            return None, f"worker rc={p.returncode}:\n{out[-3000:]}"
+            report = "\n---\n".join(o[-1500:] for o in outs)
+            return None, f"worker rc={p.returncode}; outputs:\n{report}"
     return outs, None
 
 
