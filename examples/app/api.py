@@ -38,6 +38,7 @@ def build_model(args):
         path_graph=args.path_graph,
         pretrained=True,
         checkpoint_path=args.checkpoint,
+        fold_bn=getattr(args, "fold_bn", False),
     )
 
 
@@ -98,6 +99,9 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--port", type=int, default=5000)
     parser.add_argument("--hard", action="store_true")
+    parser.add_argument("--fold-bn", action="store_true",
+                        help="serve the BN-folded forward (ResNet family; "
+                             "same predictions, fewer ops)")
     args = parser.parse_args(argv)
 
     model = build_model(args)
