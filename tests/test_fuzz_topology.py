@@ -95,3 +95,43 @@ def test_fuzzed_topology_losses_match_oracle(seed, num_leaves):
     ours_hard = float(hard_tree_sup_loss(jnp.asarray(x), jnp.asarray(y), jt))
     ref_hard = oracle_hard_tree_sup_loss(x.astype(np.float64), y, tree)
     np.testing.assert_allclose(ours_hard, ref_hard, rtol=1e-4)
+
+
+@pytest.mark.parametrize("seed,num_leaves", [(7, 5), (8, 13)])
+def test_fuzzed_topology_decision_paths(seed, num_leaves):
+    """Decision paths on arbitrary topologies are structurally sound: a
+    root->leaf chain along real graph edges, ending at the predicted class,
+    probs in (0,1], and — for hard rules — each step's child chosen by that
+    node's argmax (reference model.py:146-186 semantics)."""
+    from nbdt_tpu.rules import (
+        HardEmbeddedDecisionRules,
+        SoftEmbeddedDecisionRules,
+    )
+
+    tree = random_tree(seed, num_leaves)
+    succ = {n.wnid: list(n.succ) for n in tree.inodes}
+    rng = np.random.RandomState(seed)
+    x = (rng.randn(8, num_leaves) * 3.0).astype(np.float32)
+
+    for Rules in (SoftEmbeddedDecisionRules, HardEmbeddedDecisionRules):
+        rules = Rules(tree=tree)
+        out, decisions = rules.forward_with_decisions(x)
+        preds = np.argmax(np.asarray(out), axis=1)
+        assert len(decisions) == 8
+        for b, steps in enumerate(decisions):
+            chain = [s["node"].wnid if hasattr(s.get("node"), "wnid")
+                     else s["name"] for s in steps]
+            # terminal step is the predicted leaf
+            leaf_wnid = tree.wnids_leaves[int(preds[b])]
+            last = steps[-1]
+            last_wnid = getattr(last.get("node"), "wnid", None)
+            if last_wnid is not None:
+                assert last_wnid == leaf_wnid, (b, chain)
+            # consecutive steps follow real edges
+            wnids = [getattr(s.get("node"), "wnid", None) for s in steps]
+            if all(w is not None for w in wnids):
+                assert wnids[0] == tree.root.wnid
+                for a, c in zip(wnids, wnids[1:]):
+                    assert c in succ.get(a, ()), (a, c)
+            for s in steps:
+                assert 0.0 <= float(s["prob"]) <= 1.0 + 1e-6
