@@ -37,15 +37,22 @@ import numpy as np
 # measured 112k -> 125k imgs/s on v5e. The torch-CPU baseline keeps the
 # reference-style 512 (larger batches don't help torch-CPU and would blow
 # its 7.6 s/batch wall time); both sides are throughput, so the ratio holds.
-BATCH = 8192
-ITERS = 16
+BATCH = int(os.environ.get("NBDT_BENCH_BATCH", "8192"))
+ITERS = int(os.environ.get("NBDT_BENCH_ITERS", "16"))
 TORCH_BATCH = 512
 TORCH_ITERS = 3
-FUSED_SUBPROCESS_BUDGET_S = 240
+# Round-2 postmortem (BENCH_r02): the probe's 240 s budget was consumed by the
+# axon session-handoff stall in its FIRST device op (the probe log shows the
+# xla_bridge banner and then silence — it never reached a Mosaic compile; the
+# parent's own init stalled 453 s the same way). The budget must absorb a
+# worst-case handoff stall (~8 min observed) PLUS the compile+measure work.
+FUSED_SUBPROCESS_BUDGET_S = int(os.environ.get("NBDT_FUSED_BUDGET_S", "780"))
+
+_T0 = time.time()
 
 
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.time() - _T0:7.1f}s]", *a, file=sys.stderr, flush=True)
 
 
 def _flagship_jax():
@@ -99,25 +106,38 @@ def _make_inputs():
 
 
 def bench_jax_fused_only() -> None:
-    """Subprocess entry: measure ONLY the fused-pallas paths; print one float.
+    """Subprocess entry: measure ONLY the fused-pallas paths.
 
     Two variants share the same fused traversal head (f32 inside the kernel):
     f32 feature extractor, and bf16 feature extractor (the serving config —
     conv compute on the MXU in bf16, the head's node decisions in f32).
+
+    Robustness contract with the parent (see probe_fused_subprocess): a JSON
+    result line is printed and FLUSHED after each successful measurement, so
+    the parent keeps the best completed number even if a later stage stalls
+    past the kill budget. Every stage logs a timestamp so a post-mortem can
+    tell a tunnel-handoff stall from a Mosaic compile stall. Before any
+    timing, fused argmax is checked on-chip against the jnp rules path
+    (CLAUDE.md decision-path invariant) and reported as "parity".
     """
     import jax
     import jax.numpy as jnp
 
     from nbdt_tpu.models import get_model
     from nbdt_tpu.ops.soft_traversal import fused_soft_head, prepare_head_constants
+    from nbdt_tpu.rules import soft_forward, to_device_tree
 
+    log(f"probe: jax backend {jax.default_backend()} "
+        f"(platform init may stall minutes in a session handoff)")
     module, variables, tree = _flagship_jax()
+    log("probe: model+tree built")
     params = variables["params"]
     kernel = np.asarray(params["linear"]["kernel"])
     bias = np.asarray(params["linear"]["bias"])
     hc = prepare_head_constants(tree.arrays, kernel, bias)
     hc16 = prepare_head_constants(tree.arrays, kernel, bias,
                                   dtype=jnp.bfloat16)
+    jt = to_device_tree(tree.arrays)
     on_tpu = jax.default_backend() == "tpu"
 
     @jax.jit
@@ -127,8 +147,25 @@ def bench_jax_fused_only() -> None:
                                   interpret=not on_tpu)
         return leaf
 
+    @jax.jit
+    def forward_jnp(variables, x):
+        logits = module.apply(variables, x, train=False)
+        return soft_forward(logits, jt)
+
     xs = _make_inputs()
+    log("probe: inputs materialized; compiling fused kernel")
+
+    # On-chip argmax parity vs the jnp rules path, asserted BEFORE timing:
+    # a fast-but-wrong kernel must not enter the record.
+    fused_arg = np.argmax(np.asarray(forward_fused(variables, xs[0])), -1)
+    log("probe: fused kernel compiled+ran; compiling jnp reference")
+    ref_arg = np.argmax(np.asarray(forward_jnp(variables, xs[0])), -1)
+    parity = float((fused_arg == ref_arg).mean())
+    log(f"probe: on-chip fused-vs-jnp argmax parity: {parity:.4f}")
+    assert parity == 1.0, f"fused head argmax parity {parity} != 1.0"
+
     ips = _measure(forward_fused, variables, xs, "jax fused-pallas-head")
+    print(json.dumps({"fused_ips": ips, "parity": parity}), flush=True)
 
     module_bf16 = get_model("ResNet18", 10, dtype=jnp.bfloat16)
 
@@ -143,12 +180,47 @@ def bench_jax_fused_only() -> None:
         return leaf
 
     try:
-        ips2 = _measure(forward_fused_bf16, variables, xs,
-                        "jax bf16-backbone+fused-head")
-        ips = max(ips, ips2)
+        arg16 = np.argmax(np.asarray(forward_fused_bf16(variables, xs[0])), -1)
+        parity16 = float((arg16 == ref_arg).mean())
+        log(f"probe: bf16-fused argmax parity vs f32 jnp: {parity16:.4f}")
+        if parity16 == 1.0:
+            ips2 = _measure(forward_fused_bf16, variables, xs,
+                            "jax bf16-backbone+fused-head")
+            ips = max(ips, ips2)
+        else:
+            log("probe: bf16-fused skipped from headline (argmax drift)")
     except Exception as e:
         log(f"bf16+fused failed: {type(e).__name__}: {e}")
-    print(json.dumps({"fused_ips": ips}))
+    print(json.dumps({"fused_ips": ips, "parity": parity}), flush=True)
+
+    # The full serving stack: BN folded into conv weights (bf16 end-to-end
+    # backbone) + the fused traversal head — the two wins composed.
+    try:
+        from nbdt_tpu.models.fold import fold_batchnorm
+
+        fmod, fvars = fold_batchnorm(module, variables)
+        fmod16 = fmod.clone(dtype=jnp.bfloat16)
+
+        @jax.jit
+        def forward_folded_fused(fvars, x):
+            feats = fmod16.apply(fvars, x.astype(jnp.bfloat16),
+                                 train=False, features_only=True)
+            (leaf,) = fused_soft_head(feats, hc16, block_b=512,
+                                      want_aux=False, interpret=not on_tpu)
+            return leaf
+
+        argff = np.argmax(np.asarray(forward_folded_fused(fvars, xs[0])), -1)
+        parityff = float((argff == ref_arg).mean())
+        log(f"probe: folded+fused argmax parity vs f32 jnp: {parityff:.4f}")
+        if parityff == 1.0:
+            ips3 = _measure(lambda _v, x: forward_folded_fused(fvars, x),
+                            variables, xs, "jax bf16-folded+fused-head")
+            ips = max(ips, ips3)
+        else:
+            log("probe: folded+fused skipped from headline (argmax drift)")
+    except Exception as e:
+        log(f"folded+fused failed: {type(e).__name__}: {e}")
+    print(json.dumps({"fused_ips": ips, "parity": parity}), flush=True)
 
 
 def bench_jax() -> float:
@@ -233,7 +305,10 @@ def probe_fused_subprocess() -> float | None:
     client session at a time, so a child probe deadlocks if the parent
     already holds the device. Pallas compiles through the tunnel can also
     stall in native RPC (uninterruptible by signals) — hence the subprocess
-    + kill, not an in-process attempt.
+    + kill, not an in-process attempt. The probe prints a JSON line after
+    EACH completed measurement, so a kill mid-run still yields the best
+    number measured so far (the last line wins); fused counts only with
+    parity == 1.0 asserted on-chip by the probe itself.
     """
     if os.environ.get("NBDT_SKIP_FUSED"):
         log("fused-pallas probe skipped (NBDT_SKIP_FUSED)")
@@ -252,12 +327,16 @@ def probe_fused_subprocess() -> float | None:
                 proc.kill()
                 proc.wait()
                 log(f"fused-pallas probe exceeded {FUSED_SUBPROCESS_BUDGET_S}s; "
-                    f"skipping (partial log: {err_path})")
+                    f"using any partial result (log: {err_path})")
         sys.stderr.write(open(err_path).read())
         for line in open(err_path + ".out").read().splitlines():
             line = line.strip()
             if line.startswith("{"):
-                fused = json.loads(line).get("fused_ips")
+                rec = json.loads(line)
+                if rec.get("parity") == 1.0:
+                    fused = rec.get("fused_ips")
+                else:
+                    log(f"probe line without parity=1.0 ignored: {line}")
     except Exception as e:
         log(f"fused-pallas probe failed: {type(e).__name__}: {e}")
     return fused
