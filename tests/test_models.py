@@ -45,66 +45,22 @@ def test_wrn_forward_shape():
 
 
 def _torch_resnet18(num_classes=10):
-    """Reference-topology torch ResNet18 (CIFAR stem) for converter parity.
+    """The reference's OWN torch ResNet18 (nbdt/models/resnet.py:115-157),
+    imported from /root/reference — converter parity is checked against the
+    genuine article, not a transcription."""
+    import os
 
-    Written against the published NBDT topology (reference nbdt/models/
-    resnet.py:42-157): BasicBlock(conv3x3-bn x2 + 1x1 shortcut), stages
-    64/128/256/512 with strides 1/2/2/2, global avgpool, `linear` head.
-    """
-    import torch
-    import torch.nn as nn
-    import torch.nn.functional as F
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    import ref_stubs  # noqa: F401  (import shims + sys.path)
+    from nbdt.models.resnet import ResNet18 as RefResNet18
 
-    class BasicBlock(nn.Module):
-        def __init__(self, in_planes, planes, stride=1):
-            super().__init__()
-            self.conv1 = nn.Conv2d(in_planes, planes, 3, stride, 1, bias=False)
-            self.bn1 = nn.BatchNorm2d(planes)
-            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
-            self.bn2 = nn.BatchNorm2d(planes)
-            self.shortcut = nn.Sequential()
-            if stride != 1 or in_planes != planes:
-                self.shortcut = nn.Sequential(
-                    nn.Conv2d(in_planes, planes, 1, stride, bias=False),
-                    nn.BatchNorm2d(planes),
-                )
-
-        def forward(self, x):
-            out = F.relu(self.bn1(self.conv1(x)))
-            out = self.bn2(self.conv2(out))
-            out = out + self.shortcut(x)
-            return F.relu(out)
-
-    class TorchResNet18(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.conv1 = nn.Conv2d(3, 64, 3, 1, 1, bias=False)
-            self.bn1 = nn.BatchNorm2d(64)
-            in_planes = 64
-            for stage, (planes, stride) in enumerate(
-                zip((64, 128, 256, 512), (1, 2, 2, 2)), start=1
-            ):
-                blocks = []
-                for i, s in enumerate([stride, 1]):
-                    blocks.append(BasicBlock(in_planes, planes, s))
-                    in_planes = planes
-                setattr(self, f"layer{stage}", nn.Sequential(*blocks))
-            self.linear = nn.Linear(512, num_classes)
-
-        def forward(self, x):
-            out = F.relu(self.bn1(self.conv1(x)))
-            out = self.layer1(out)
-            out = self.layer2(out)
-            out = self.layer3(out)
-            out = self.layer4(out)
-            out = F.adaptive_avg_pool2d(out, 1).flatten(1)
-            return self.linear(out)
-
-    return TorchResNet18()
+    return RefResNet18(num_classes=num_classes)
 
 
 def test_torch_to_flax_parity():
-    """Converted torch weights produce the same logits in Flax (eval mode)."""
+    """The reference's own torch ResNet18 weights produce the same logits in
+    Flax after conversion (eval mode)."""
     torch = pytest.importorskip("torch")
 
     import jax.numpy as jnp
