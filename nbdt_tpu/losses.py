@@ -117,6 +117,54 @@ def hard_tree_sup_loss(
     return pair_nll.sum() / num_losses * tree_supervision_weight
 
 
+def hard_tree_sup_loss_custom(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    jt: JTreeArrays,
+    criterion: Callable,
+    tree_supervision_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Reference loss.py:213-257 with ``self.criterion`` routed through
+    every (sample, node) sub-problem — the general-criterion form.
+
+    The reference buckets sub-problems by child count and calls the
+    criterion once per bucket on ``[n_sub, k]`` rows, scaling by
+    ``n_sub / (B*N/2) * tsw``. For any criterion that is a MEAN of
+    independent per-sample terms (CE, label-smoothing CE, focal, ...) this
+    equals ``tsw/(B*N/2) * sum over valid pairs of the per-pair term`` —
+    computed here with static shapes (child counts are tree constants) so
+    the whole thing jits: per distinct child count k, slice each node's
+    true k child-logit columns and vmap the criterion over single pairs.
+    Batch-coupled criteria (whose value is not a mean of per-sample terms)
+    are outside this contract, as they are outside the reference's: its
+    bucket order mixes nodes arbitrarily.
+    """
+    import numpy as np
+
+    B = logits.shape[0]
+    N, K, _ = jt.membership.shape
+    nl = jnp.dot(
+        logits.astype(jnp.float32),
+        jt.membership.reshape(N * K, -1).T,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(B, N, K)
+    tc = jt.target_child[:, targets].T  # [B, N]
+    valid = tc >= 0
+
+    counts = np.asarray(jt.child_mask).sum(axis=1).astype(int)  # static [N]
+    per_pair = jax.vmap(lambda row, t: criterion(row[None], t[None]))
+    total = jnp.float32(0.0)
+    for k in sorted(set(counts.tolist())):
+        idx = np.nonzero(counts == k)[0]
+        rows = nl[:, idx, :k].reshape(-1, k)  # true child columns only
+        t = tc[:, idx].reshape(-1)
+        v = valid[:, idx].reshape(-1)
+        vals = per_pair(rows, jnp.where(v, t, 0).astype(jnp.int32))
+        total = total + jnp.where(v, vals, 0.0).sum()
+    num_losses = B * N / 2.0
+    return total / num_losses * tree_supervision_weight
+
+
 def scheduled_weight(start: float, end: float, progress: float, power: float = 1.0):
     """Linearly (or power-curved) interpolated weight
     (reference loss.py:187-189)."""
@@ -228,18 +276,18 @@ class HardTreeSupLoss(TreeSupLoss):
         # tree_supervision_weight *inside* forward_tree, and loss.py:195-203
         # scales forward_tree's result by the scheduled tree weight again —
         # so the hard term effectively carries tsw^2 when no schedule is set.
-        #
-        # The vectorized all-pairs collapse (see hard_tree_sup_loss) encodes
-        # per-pair CE directly, so a non-default criterion cannot be routed
-        # through it — fail loudly rather than silently dropping it.
-        assert self.criterion is cross_entropy, (
-            "HardTreeSupLoss supports only the default cross-entropy "
-            "criterion (its vectorized form encodes per-pair CE); got "
-            f"{self.criterion!r}"
-        )
         assert_output_not_nbdt(outputs)
-        return hard_tree_sup_loss(
+        if self.criterion is cross_entropy:
+            # Fast path: CE collapses to one masked gather over all pairs.
+            return hard_tree_sup_loss(
+                jnp.asarray(outputs), jnp.asarray(targets), self.jt,
+                tree_supervision_weight=self.tree_supervision_weight,
+            )
+        # Reference loss.py:247-251 routes self.criterion into every
+        # bucketed sub-problem; the general form vmaps it per pair.
+        return hard_tree_sup_loss_custom(
             jnp.asarray(outputs), jnp.asarray(targets), self.jt,
+            criterion=self.criterion,
             tree_supervision_weight=self.tree_supervision_weight,
         )
 
@@ -356,28 +404,34 @@ class SoftSegTreeSupLoss(SoftTreeSupLoss):
     def __init__(self, *args, ignore_label: int = -1, **kwargs):
         super().__init__(*args, **kwargs)
         self.ignore_label = ignore_label
-        # Both terms hardcode masked_cross_entropy (void-pixel handling is
-        # baked into the flattened formulation); a custom criterion cannot
-        # be routed through, so reject it loudly instead of silently
-        # optimizing a different objective than the reference's
-        # criterion(outputs) + criterion(bayesian_outputs)*tsw.
-        assert self.criterion is cross_entropy, (
-            "SoftSegTreeSupLoss supports only the default cross-entropy "
-            f"criterion (void pixels are masked internally); got "
-            f"{self.criterion!r}"
-        )
+
+    def _seg_criterion(self, outputs, targets):
+        """Apply the configured criterion to NHWC maps + NHW labels.
+
+        The default cross-entropy is replaced by the void-masking flattened
+        form (the reference delegates void handling to its seg criterion's
+        ignore_index; ours bakes it in). A custom criterion receives the
+        maps unflattened — the same contract as the reference's
+        ``self.criterion(outputs, targets)`` (loss.py:321-326), modulo the
+        NHWC (vs NCHW) layout this repo uses throughout.
+        """
+        if self.criterion is cross_entropy:
+            return masked_cross_entropy(
+                outputs.reshape(-1, outputs.shape[-1]), targets.reshape(-1),
+                self.ignore_label,
+            )
+        return self.criterion(outputs, targets)
 
     def forward(self, outputs, targets):
+        # Reference loss.py:318-327: criterion(outputs) + criterion(rules
+        # over per-pixel logits) * tsw, both through the SAME criterion.
         assert_output_not_nbdt(outputs)
         outputs = jnp.asarray(outputs)
         targets = jnp.asarray(targets)
+        loss = self._seg_criterion(outputs, targets)
         flat_out = outputs.reshape(-1, outputs.shape[-1])
-        flat_tgt = targets.reshape(-1)
-        loss = masked_cross_entropy(flat_out, flat_tgt, self.ignore_label)
-        loss += (
-            soft_seg_tree_sup_loss(flat_out, flat_tgt, self.jt, self.ignore_label)
-            * self.tree_supervision_weight
-        )
+        bayesian = soft_rules_distribution(flat_out, self.jt).reshape(outputs.shape)
+        loss += self._seg_criterion(bayesian, targets) * self.tree_supervision_weight
         return loss
 
 

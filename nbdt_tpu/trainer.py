@@ -158,15 +158,19 @@ def tree_term_fn(
             logits, targets, jt, criterion=criterion
         )
     if loss_name == "HardTreeSupLoss":
-        # Same loud contract as losses.HardTreeSupLoss: the vectorized
-        # all-pairs collapse encodes per-pair CE, so a custom criterion
-        # cannot be routed through the hard tree term.
-        assert criterion is cross_entropy, (
-            "HardTreeSupLoss's tree term supports only the default "
-            f"cross-entropy criterion; got {criterion!r}"
-        )
-        return lambda logits, targets: hard_tree_sup_loss(
-            logits, targets, jt, tree_supervision_weight=tsw
+        if criterion is cross_entropy:
+            return lambda logits, targets: hard_tree_sup_loss(
+                logits, targets, jt, tree_supervision_weight=tsw
+            )
+        # Custom criterion: the reference routes self.criterion into every
+        # bucketed sub-problem (loss.py:247-251); the jittable general form
+        # vmaps it per (sample, node) pair — exact for mean-decomposable
+        # criteria (see losses.hard_tree_sup_loss_custom).
+        from .losses import hard_tree_sup_loss_custom
+
+        return lambda logits, targets: hard_tree_sup_loss_custom(
+            logits, targets, jt, criterion=criterion,
+            tree_supervision_weight=tsw,
         )
     raise KeyError(f"Unknown loss {loss_name!r}")
 

@@ -91,12 +91,16 @@ def oracle_soft_tree_sup_loss(outputs: np.ndarray, targets: np.ndarray, tree) ->
 
 
 def oracle_hard_tree_sup_loss(
-    outputs: np.ndarray, targets: np.ndarray, tree, tree_supervision_weight=1.0
+    outputs: np.ndarray, targets: np.ndarray, tree, tree_supervision_weight=1.0,
+    criterion=None,
 ) -> float:
     """reference loss.py:213-257: bucketed per-node filtered CE, transcribed
-    with the exact bucketing + weighting."""
+    with the exact bucketing + weighting. ``criterion(logits, targets) ->
+    float`` routes a custom base criterion into every bucket exactly as the
+    reference's ``self.criterion`` is (loss.py:247-251)."""
     from collections import defaultdict
 
+    criterion = criterion or oracle_cross_entropy
     loss = 0.0
     num_losses = outputs.shape[0] * len(tree.inodes) / 2.0
     outputs_subs = defaultdict(list)
@@ -120,5 +124,5 @@ def oracle_hard_tree_sup_loss(
         if not outputs_sub.shape[0]:
             continue
         fraction = outputs_sub.shape[0] / num_losses * tree_supervision_weight
-        loss += oracle_cross_entropy(outputs_sub, targets_sub) * fraction
+        loss += float(criterion(outputs_sub, targets_sub)) * fraction
     return float(loss)

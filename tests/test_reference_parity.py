@@ -168,6 +168,87 @@ def test_hard_loss_parity(reference_rules, our_rules, logits, targets):
     assert ours == pytest.approx(theirs, rel=1e-4)
 
 
+def test_hard_loss_custom_criterion_parity(reference_rules, our_rules,
+                                           logits, targets):
+    """HardTreeSupLoss with a NON-default criterion (label-smoothing CE):
+    the reference routes self.criterion into every bucketed sub-problem
+    (loss.py:247-251); our per-pair vmap form must match it exactly."""
+    import ref_stubs  # noqa: F401
+    from nbdt.loss import HardTreeSupLoss as RefHardLoss
+
+    import jax
+    import jax.numpy as jnp
+
+    from nbdt_tpu.losses import HardTreeSupLoss
+
+    _, ref_hard = reference_rules
+    _, our_hard = our_rules
+    tsw, eps = 1.7, 0.1
+
+    ref_loss = RefHardLoss(
+        "CIFAR10", torch.nn.CrossEntropyLoss(label_smoothing=eps),
+        tree=ref_hard.tree, tree_supervision_weight=tsw,
+    )
+
+    def smoothed_ce(l, t):
+        logp = jax.nn.log_softmax(l.astype(jnp.float32), axis=-1)
+        onehot = jax.nn.one_hot(t, l.shape[-1])
+        soft = onehot * (1 - eps) + eps / l.shape[-1]
+        return -(soft * logp).sum(-1).mean()
+
+    our_loss = HardTreeSupLoss(tree=our_hard.tree, criterion=smoothed_ce,
+                               tree_supervision_weight=tsw)
+    with torch.no_grad():
+        theirs = float(ref_loss(torch.from_numpy(logits),
+                                torch.from_numpy(targets)))
+    ours = float(our_loss(logits, targets.astype(np.int32)))
+    assert ours == pytest.approx(theirs, rel=1e-4)
+
+
+def test_seg_loss_custom_criterion_parity(reference_rules, our_rules):
+    """SoftSegTreeSupLoss with a custom criterion: the reference applies
+    self.criterion to both the raw maps and the per-pixel bayesian maps
+    (loss.py:318-327); ours must do the same (NHWC vs reference NCHW)."""
+    import ref_stubs  # noqa: F401
+    from nbdt.loss import SoftSegTreeSupLoss as RefSegLoss
+
+    import jax
+    import jax.numpy as jnp
+
+    from nbdt_tpu.losses import SoftSegTreeSupLoss
+
+    ref_soft, _ = reference_rules
+    our_soft, _ = our_rules
+    tsw, eps = 2.0, 0.1
+
+    rng = np.random.RandomState(9)
+    maps_nhwc = (rng.randn(2, 4, 4, 10) * 2).astype(np.float32)
+    labels = rng.randint(0, 10, (2, 4, 4)).astype(np.int64)
+
+    ref_loss = RefSegLoss(
+        "CIFAR10", torch.nn.CrossEntropyLoss(label_smoothing=eps),
+        tree=ref_soft.tree, tree_supervision_weight=tsw,
+    )
+    with torch.no_grad():
+        theirs = float(ref_loss(
+            torch.from_numpy(maps_nhwc.transpose(0, 3, 1, 2)),
+            torch.from_numpy(labels),
+        ))
+
+    def smoothed_ce_maps(maps, t):
+        # NHWC maps + NHW labels, same semantics as torch CE(label_smoothing)
+        logp = jax.nn.log_softmax(maps.astype(jnp.float32), axis=-1)
+        onehot = jax.nn.one_hot(t, maps.shape[-1])
+        soft = onehot * (1 - eps) + eps / maps.shape[-1]
+        return -(soft * logp).sum(-1).mean()
+
+    our_loss = SoftSegTreeSupLoss(tree=our_soft.tree,
+                                  criterion=smoothed_ce_maps,
+                                  tree_supervision_weight=tsw)
+    ours = float(our_loss(maps_nhwc, labels.astype(np.int32)))
+    assert ours == pytest.approx(theirs, rel=1e-4)
+
+
 def test_induced_graph_parity():
     """Hierarchy induction from identical centers produces the identical
     graph as the reference's sklearn-based builder (reference

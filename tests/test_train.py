@@ -200,10 +200,23 @@ def test_custom_criterion_routed(tiny_setup, synthetic_tree):
                       jnp.asarray(y), jnp.float32(1.0), jnp.float32(1.0))
     assert float(m["loss_xent"]) == pytest.approx(want_xent, rel=1e-5)
 
-    # Hard loss cannot route a custom criterion — must fail loudly.
-    hard = HardTreeSupLoss(tree=synthetic_tree, criterion=smoothed_ce)
-    with pytest.raises(AssertionError, match="cross-entropy"):
-        hard.forward_tree(logits, targets)
+    # Hard loss routes the custom criterion through every bucketed
+    # sub-problem (reference loss.py:247-251) — check against the oracle
+    # transcription of the reference loop with the same criterion.
+    from oracle import oracle_hard_tree_sup_loss
+
+    def np_smoothed_ce(l, t, eps=0.2):
+        return float(smoothed_ce(jnp.asarray(l), jnp.asarray(t), eps))
+
+    hard = HardTreeSupLoss(tree=synthetic_tree, criterion=smoothed_ce,
+                           tree_supervision_weight=1.5)
+    want = oracle_hard_tree_sup_loss(
+        np.asarray(logits), np.asarray(targets), synthetic_tree,
+        tree_supervision_weight=1.5, criterion=np_smoothed_ce,
+    )
+    assert float(hard.forward_tree(logits, targets)) == pytest.approx(
+        want, rel=1e-5
+    )
 
 
 def test_trainer_load_replaces_on_mesh(tiny_setup, synthetic_tree, tmp_path):
@@ -349,18 +362,37 @@ def test_orbax_checkpoint_roundtrip(tiny_setup, synthetic_tree, tmp_path):
     )
 
 
-def test_hard_loss_rejects_custom_criterion_in_step(synthetic_tree):
-    """make_train_step must fail loudly when a custom criterion is paired
-    with HardTreeSupLoss (its vectorized tree term encodes per-pair CE)."""
-    import optax
+def test_hard_loss_custom_criterion_in_step(synthetic_tree):
+    """The jitted HardTreeSupLoss tree term routes a custom criterion
+    through every (sample, node) sub-problem — and the whole thing jits
+    (static child-count grouping; see losses.hard_tree_sup_loss_custom)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oracle import oracle_hard_tree_sup_loss
 
     from nbdt_tpu.rules import to_device_tree
-    from nbdt_tpu.trainer import make_train_step
+    from nbdt_tpu.trainer import tree_term_fn
+
+    def smoothed_ce(logits, targets, eps=0.1):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        onehot = jax.nn.one_hot(targets, logits.shape[-1])
+        soft = onehot * (1 - eps) + eps / logits.shape[-1]
+        return -(soft * logp).sum(-1).mean()
 
     jt = to_device_tree(synthetic_tree.arrays)
-    with pytest.raises(AssertionError, match="cross-entropy"):
-        make_train_step(None, optax.sgd(0.1), "HardTreeSupLoss", jt,
-                        criterion_fn=lambda a, b: 0.0)
+    term = tree_term_fn("HardTreeSupLoss", jt, tsw=2.0,
+                        criterion_fn=smoothed_ce)
+    rng = np.random.RandomState(3)
+    logits = rng.randn(8, 7).astype(np.float32)
+    targets = rng.randint(0, 7, 8)
+    got = float(jax.jit(term)(jnp.asarray(logits), jnp.asarray(targets)))
+    want = oracle_hard_tree_sup_loss(
+        logits, targets, synthetic_tree, tree_supervision_weight=2.0,
+        criterion=lambda l, t: float(smoothed_ce(jnp.asarray(l),
+                                                 jnp.asarray(t))),
+    )
+    assert got == pytest.approx(want, rel=1e-5)
 
 
 def test_trainer_memorizes_small_set(synthetic_tree):
