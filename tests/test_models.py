@@ -210,6 +210,39 @@ def _torch_wrn28_10(num_classes=10):
     return TorchWRN()
 
 
+def test_wrn_key_contract_fixture():
+    """Three-way WRN-28-10 topology contract (VERDICT: the reference's
+    headline checkpoints are pytorchcv-keyed and pytorchcv is not installed
+    here, so drift would misload silently without this pin):
+
+    fixture (first-principles enumeration of pytorchcv wrn_cifar.py +
+    preresnet.py naming, tests/gen_wrn_fixture.py) == the torch
+    transcription's state_dict == the set of keys the converter maps."""
+    torch = pytest.importorskip("torch")
+    import json
+    import os
+
+    from nbdt_tpu.models.convert import _wrn_key_to_path
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "wrn28_10_keys.json")
+    fixture = {k: tuple(s) for k, s in json.load(open(path))["wrn28_10_cifar10"]}
+
+    tmodel = _torch_wrn28_10()
+    got = {k: tuple(v.shape) for k, v in tmodel.state_dict().items()}
+    assert got == fixture, (
+        "torch WRN transcription drifted from the pinned pytorchcv contract"
+    )
+
+    # Every non-bookkeeping fixture key must be consumed by the converter's
+    # key mapper (unmapped keys make torch_state_dict_to_flax raise).
+    unmapped = [
+        k for k in fixture
+        if not k.endswith("num_batches_tracked") and _wrn_key_to_path(k) is None
+    ]
+    assert not unmapped, f"converter cannot map pinned WRN keys: {unmapped}"
+
+
 def test_wrn_torch_to_flax_parity():
     """Converted pytorchcv-style WRN weights produce the same logits in Flax
     — validates both the WRN topology and the _wrn_key_to_path mapping."""
