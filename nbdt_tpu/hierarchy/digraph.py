@@ -108,13 +108,25 @@ class Digraph:
         Mirrors ``networkx.contracted_nodes(G, keep, remove,
         self_loops=False)`` as used by prune_single_successor_nodes
         (reference graph.py:597-602): edges of ``remove`` are re-attached to
-        ``keep``; ``keep``'s attrs win.
+        ``keep``; ``keep``'s attrs win; ``remove``'s attrs are recorded in
+        ``keep``'s ``contraction`` dict (accumulating nearest-first across
+        repeated contractions — the shipped wordnet graphs carry exactly
+        this structure, and mini_corpus_from_graph_json inverts it).
         """
         H = Digraph()
         for node, attrs in self._nodes.items():
             if node == remove:
                 continue
             H.add_node(node, **attrs)
+        contraction = dict(self._nodes[keep].get("contraction") or {})
+        contraction[remove] = {
+            k: v for k, v in self._nodes[remove].items() if k != "contraction"
+        }
+        # nested contractions (remove was itself a contraction target) keep
+        # networkx's nesting behavior
+        if "contraction" in self._nodes[remove]:
+            contraction[remove]["contraction"] = self._nodes[remove]["contraction"]
+        H.add_node(keep, contraction=contraction)
         for u in self._nodes:
             for v in self._succ[u]:
                 uu = keep if u == remove else u

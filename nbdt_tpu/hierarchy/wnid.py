@@ -15,11 +15,136 @@ from ..utils import get_directory, makeparentdirs
 
 _WORDNET_CHECKED = False
 _WORDNET_AVAILABLE = False
+_MINI_CORPUS = None  # {wnid: {"name": str, "hypernyms": [wnid, ...]}}
+
+
+def install_mini_corpus(table) -> None:
+    """Install a vendored mini WordNet: a dict (or JSON path) of
+    ``{wnid: {"name": ..., "hypernyms": [wnid, ...]}}``.
+
+    Zero-egress environments cannot fetch the NLTK corpus (reference
+    wn.py:16-21 downloads it unconditionally), so the wordnet-dependent
+    flows — ``build_minimal_wordnet_graph``, hypernym naming of induced
+    parents, ``Superclass.build_mapping`` — degrade to FakeSynsets. A
+    mini-corpus runs their REAL code paths on vendored hypernym chains;
+    :func:`mini_corpus_from_graph_json` derives one from any shipped
+    wordnet hierarchy. Takes precedence over NLTK while installed."""
+    global _MINI_CORPUS
+    if isinstance(table, (str, os.PathLike)):
+        import json
+
+        with open(table) as f:
+            table = json.load(f)
+    _MINI_CORPUS = dict(table)
+
+
+def clear_mini_corpus() -> None:
+    global _MINI_CORPUS
+    _MINI_CORPUS = None
+
+
+def mini_corpus_from_graph_json(path) -> dict:
+    """Derive a mini-corpus from a shipped wordnet hierarchy JSON.
+
+    Pruning (reference graph.py:597-602) contracts every single-successor
+    chain into its surviving child, recording the removed ancestors in the
+    node's ``contraction`` dict in nearest-first order — so each node's
+    original hypernym chain is ``node -> contraction keys... -> parent``.
+    Inverting that reconstructs the exact WordNet relations the builder saw,
+    letting ``build_minimal_wordnet_graph`` + prune reproduce the shipped
+    graph byte-for-byte offline (tested in tests/test_hierarchy.py)."""
+    import json
+
+    with open(str(path)) as f:
+        data = json.load(f)
+
+    table: dict = {}
+
+    def ensure(wnid, name):
+        table.setdefault(wnid, {"name": name, "hypernyms": []})
+
+    for node in data["nodes"]:
+        ensure(node["id"], node.get("label", node["id"]))
+        for cw, cd in (node.get("contraction") or {}).items():
+            ensure(cw, cd.get("label", cw))
+
+    chains = {}
+    for node in data["nodes"]:
+        chain = [node["id"]] + list((node.get("contraction") or {}).keys())
+        for lower, upper in zip(chain, chain[1:]):
+            table[lower]["hypernyms"] = [upper]
+        chains[node["id"]] = chain
+
+    for link in data["links"]:
+        top = chains[link["target"]][-1]
+        table[top]["hypernyms"] = [link["source"]]
+    return table
+
+
+class MiniSynset:
+    """Synset backed by a mini-corpus table.
+
+    Implements the exact NLTK synset surface the hierarchy builders and
+    analyzers touch: ``pos/offset/name/definition/hypernyms`` plus
+    ``common_hypernyms`` (includes self, like NLTK) and ``max_depth``
+    (longest hypernym path length)."""
+
+    def __init__(self, wnid: str, table: dict):
+        self.wnid = wnid
+        self._table = table
+
+    def pos(self) -> str:
+        return self.wnid[0]
+
+    def offset(self) -> int:
+        return int(self.wnid[1:])
+
+    def name(self) -> str:
+        return self._table[self.wnid]["name"]
+
+    def definition(self) -> str:
+        return self._table[self.wnid].get("definition", "(mini-corpus)")
+
+    def hypernyms(self):
+        return [MiniSynset(w, self._table)
+                for w in self._table[self.wnid]["hypernyms"]]
+
+    def _closure(self):
+        seen, frontier = [], [self]
+        while frontier:
+            cur = frontier.pop(0)
+            if cur.wnid in [s.wnid for s in seen]:
+                continue
+            seen.append(cur)
+            frontier.extend(cur.hypernyms())
+        return seen
+
+    def common_hypernyms(self, other):
+        mine = {s.wnid: s for s in self._closure()}
+        return [s for s in other._closure() if s.wnid in mine]
+
+    def max_depth(self) -> int:
+        hyps = self.hypernyms()
+        if not hyps:
+            return 0
+        return 1 + max(h.max_depth() for h in hyps)
+
+    def __eq__(self, other):
+        return isinstance(other, MiniSynset) and other.wnid == self.wnid
+
+    def __hash__(self):
+        return hash(self.wnid)
+
+    def __repr__(self):
+        return f"MiniSynset({self.wnid!r})"
 
 
 def wordnet_available() -> bool:
-    """True if the NLTK WordNet corpus can be loaded (cached check)."""
+    """True if a WordNet corpus can serve synset lookups: the full NLTK
+    corpus, or an installed mini-corpus (see :func:`install_mini_corpus`)."""
     global _WORDNET_CHECKED, _WORDNET_AVAILABLE
+    if _MINI_CORPUS is not None:
+        return True
     if not _WORDNET_CHECKED:
         _WORDNET_CHECKED = True
         try:
@@ -102,8 +227,15 @@ def synset_to_wnid(synset) -> str:
 
 
 def wnid_to_synset(wnid: str):
-    """wnid -> synset; FakeSynset if the corpus is absent or lookup fails."""
-    if wnid.startswith("f") or not wordnet_available():
+    """wnid -> synset; MiniSynset under an installed mini-corpus, FakeSynset
+    if no corpus can resolve it."""
+    if wnid.startswith("f"):
+        return FakeSynset(wnid)
+    if _MINI_CORPUS is not None:
+        if wnid in _MINI_CORPUS:
+            return MiniSynset(wnid, _MINI_CORPUS)
+        return FakeSynset(wnid)
+    if not wordnet_available():
         return FakeSynset(wnid)
     from nltk.corpus import wordnet as wn
 

@@ -340,3 +340,102 @@ def test_hierarchy_cli_multi_path_alias():
     assert p.parse_args(["--single-path"]).single_path
     assert not p.parse_args([]).single_path
     assert p.parse_args(["--color", "blue-minimal"]).color == "blue-minimal"
+
+
+# ---------------------------------------------------------------------------
+# Mini-corpus: the real wordnet builder paths, offline
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def cifar10_mini_corpus():
+    """Mini WordNet derived from the shipped CIFAR10 wordnet graph
+    (hypernym chains reconstructed from the prune contraction records)."""
+    from nbdt_tpu.hierarchy.wnid import (
+        clear_mini_corpus,
+        install_mini_corpus,
+        mini_corpus_from_graph_json,
+    )
+
+    path = "nbdt_tpu/hierarchies/CIFAR10/graph-wordnet.json"
+    install_mini_corpus(mini_corpus_from_graph_json(path))
+    yield path
+    clear_mini_corpus()
+
+
+def test_mini_corpus_wordnet_builder_roundtrip(cifar10_mini_corpus):
+    """build_minimal_wordnet_graph + prune under the mini-corpus reproduces
+    the SHIPPED wordnet graph exactly — nodes, labels, edges, and the
+    contraction records (incl. their nearest-first order) — i.e. the real
+    builder code path (reference graph.py:289-322 + 597-602) runs offline
+    and hits the reference's own output."""
+    import json
+
+    from nbdt_tpu.assets import get_dataset_wnids
+    from nbdt_tpu.hierarchy.build import (
+        build_minimal_wordnet_graph,
+        prune_single_successor_nodes,
+    )
+    from nbdt_tpu.hierarchy.digraph import node_link_data
+
+    shipped = json.load(open(cifar10_mini_corpus))
+    wnids = get_dataset_wnids("CIFAR10")
+    G = prune_single_successor_nodes(build_minimal_wordnet_graph(wnids))
+    data = node_link_data(G)
+
+    ship_nodes = {n["id"]: n for n in shipped["nodes"]}
+    our_nodes = {n["id"]: n for n in data["nodes"]}
+    assert set(our_nodes) == set(ship_nodes)
+    for nid, sn in ship_nodes.items():
+        on = our_nodes[nid]
+        assert on.get("label") == sn.get("label"), nid
+        assert list((on.get("contraction") or {}).items()) == list(
+            (sn.get("contraction") or {}).items()
+        ), nid
+    assert {(l["source"], l["target"]) for l in data["links"]} == {
+        (l["source"], l["target"]) for l in shipped["links"]
+    }
+
+
+def test_mini_corpus_superclass_mapping(cifar10_mini_corpus):
+    """Superclass.build_mapping's REAL hypernym-closure path (reference
+    analysis.py:481-498) runs under the mini-corpus: 'animal' (n00015388,
+    itself a pruned-away intermediate) captures exactly the six animal
+    classes; 'vehicle' (n04524313) captures the craft subtree."""
+    from nbdt_tpu.analysis import Superclass
+    from nbdt_tpu.assets import get_dataset_wnids
+
+    wnids = get_dataset_wnids("CIFAR10")
+    mapping, new_to_old = Superclass.build_mapping(wnids, ["n00015388"])
+    # classes: airplane car bird cat deer dog frog horse ship truck
+    assert mapping.tolist() == [-1, -1, 0, 0, 0, 0, 0, 0, -1, -1]
+    assert new_to_old[0] == [2, 3, 4, 5, 6, 7]
+
+    mapping, _ = Superclass.build_mapping(wnids, ["n04524313"])
+    assert mapping.tolist() == [0, -1, -1, -1, -1, -1, -1, -1, 0, -1]
+
+
+def test_mini_corpus_superclass_analyzer_end_to_end(cifar10_mini_corpus):
+    """Full Superclass analyzer constructed WITHOUT an explicit mapping=
+    (the corpus path the reference always takes) scores superclass accuracy
+    on logits."""
+    import numpy as np
+
+    from nbdt_tpu.analysis import Superclass
+    from nbdt_tpu.assets import get_dataset_wnids
+    from nbdt_tpu.tree import Tree
+
+    wnids = get_dataset_wnids("CIFAR10")
+    classes = ["airplane", "car", "bird", "cat", "deer", "dog", "frog",
+               "horse", "ship", "truck"]
+    tree = Tree("CIFAR10", path_graph=cifar10_mini_corpus,
+                path_wnids=None, classes=classes)
+    a = Superclass(dataset="CIFAR10", tree=tree,
+                   superclass_wnids=["n00015388"])
+    # all-animal logits: predicted superclass must be 'animal' (0)
+    logits = np.full((4, 10), -5.0, np.float32)
+    logits[:, 3] = 5.0  # cat
+    targets = np.array([3, 5, 2, 7])  # cat dog bird horse -> all animal
+    predicted, mapped_targets = a.forward(logits, targets)
+    assert predicted.tolist() == [0, 0, 0, 0]
+    assert mapped_targets.tolist() == [0, 0, 0, 0]
