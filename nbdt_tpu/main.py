@@ -45,6 +45,13 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dataset-test", default=None)
     parser.add_argument("--disable-test-eval", action="store_true")
     parser.add_argument("--checkpoint-dir", default="./checkpoint")
+    parser.add_argument(
+        "--checkpoint-backend", default="msgpack",
+        choices=("msgpack", "orbax"),
+        help="orbax = sharding-aware directory checkpoints (each host "
+             "writes its own shards; required for multi-host runs whose "
+             "arrays are not fully addressable)",
+    )
     # tree (reference tree.py:26-35)
     parser.add_argument("--hierarchy", default=None)
     parser.add_argument("--path-graph", default=None)
@@ -276,6 +283,7 @@ def main(argv=None):
         path_graph=tree.path_graph if tree else None,
         path_wnids=args.path_wnids,
         checkpoint_dir=args.checkpoint_dir,
+        checkpoint_backend=args.checkpoint_backend,
         name=args.name,
         metric=args.metric,
         disable_test_eval=args.disable_test_eval,
@@ -368,10 +376,12 @@ def main(argv=None):
         import os
 
         # Prefer the rolling last-epoch checkpoint (preemption resume) over
-        # the best-accuracy one when both exist.
+        # the best-accuracy one when both exist. The scan is backend-aware:
+        # orbax checkpoints are directories named *.orbax.
+        ext = ".orbax" if args.checkpoint_backend == "orbax" else ".msgpack"
         candidates = [args.path_resume] if args.path_resume else [
             os.path.join(args.checkpoint_dir,
-                         trainer.checkpoint_fname() + suffix + ".msgpack")
+                         trainer.checkpoint_fname() + suffix + ext)
             for suffix in ("-last", "")
         ]
         path = next((p for p in candidates if p and os.path.exists(p)), None)

@@ -77,8 +77,23 @@ np.testing.assert_array_equal(
 stats2 = tr2.train_epoch(0)
 assert np.isfinite(stats2["loss"])
 
-print(f"RESULT {pid} loss={stats['loss']:.6f} resumed={stats2['loss']:.6f}",
-      flush=True)
+# Orbax round-trip across BOTH hosts: a SHARED directory checkpoint (orbax
+# coordinates via a distributed barrier; each host writes its own shards),
+# restored into the first trainer. This is the backend main.py exposes via
+# --checkpoint-backend=orbax for multi-host runs.
+odir = f"/tmp/mh-ckpt-orbax-{port}"
+tr2.config.checkpoint_dir = odir
+tr2.config.checkpoint_backend = "orbax"
+opath = tr2.save(epoch=2, acc=float(acc))
+assert opath.endswith(".orbax"), opath
+tr.load(opath)
+np.testing.assert_array_equal(
+    np.asarray(tr.params["linear"]["kernel"]),
+    np.asarray(tr2.params["linear"]["kernel"]),
+)
+
+print(f"RESULT {pid} loss={stats['loss']:.6f} resumed={stats2['loss']:.6f} "
+      f"orbax=ok", flush=True)
 """
 
 

@@ -339,6 +339,30 @@ def test_main_cli_checkpoint_path(tmp_path):
     assert 0 <= acc <= 100
 
 
+def test_main_cli_orbax_resume(tmp_path, capsys):
+    """--checkpoint-backend orbax drives the orbax backend end-to-end from
+    the reference-parity CLI, and the --resume scan is backend-aware (finds
+    the *.orbax directory, not a *.msgpack file)."""
+    pytest.importorskip("orbax.checkpoint")
+    import os
+
+    from nbdt_tpu.main import main
+
+    args = [
+        "--dataset", "CIFAR10", "--arch", "ResNet10", "--synthetic",
+        "--loss", "CrossEntropyLoss", "--epochs", "1", "--batch-size", "8",
+        "--platform", "cpu", "--checkpoint-dir", str(tmp_path),
+        "--checkpoint-backend", "orbax", "--no-progress",
+    ]
+    main(args)
+    saved = [f for f in os.listdir(tmp_path) if f.endswith(".orbax")]
+    assert saved, os.listdir(tmp_path)
+
+    main(args + ["--resume", "--eval"])
+    out = capsys.readouterr().out
+    assert "Resumed from" in out and ".orbax" in out
+
+
 def test_orbax_checkpoint_roundtrip(tiny_setup, synthetic_tree, tmp_path):
     """Orbax backend: sharding-aware directory checkpoint round-trips."""
     pytest.importorskip("orbax.checkpoint")
