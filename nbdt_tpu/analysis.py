@@ -181,6 +181,34 @@ class DecisionRules(Noop):
         self.metric.forward(outputs, targets)
         return self.accuracy
 
+    def device_eval(self):
+        """``(pure_fn, k)`` for device-side top-k counting of this
+        analyzer's score, or None when unsupported.
+
+        Lets the trainer's sync-free eval loop extend to analyzer runs: the
+        NBDT re-scoring happens inside the same jitted count step as the
+        backbone metric, so no per-batch logits are pulled to the host (on
+        high-RTT transports the per-batch pull is 10x+ slower than the
+        compute). Only the plain DecisionRules behavior qualifies —
+        subclasses that customize per-batch host work (Superclass's
+        mapping, ScoreSave's image capture) return None and keep the
+        host loop."""
+        cls = type(self)
+        if (cls._update_batch is not DecisionRules._update_batch
+                or cls.update_batch is not Noop.update_batch
+                or not isinstance(self.metric, metrics.TopK)):
+            return None
+        if getattr(self, "_device_fwd", None) is None:
+            from functools import partial
+
+            from .rules import hard_forward, soft_forward
+            from .rules import SoftEmbeddedDecisionRules as _SoftRules
+
+            fwd = (soft_forward if isinstance(self.rules, _SoftRules)
+                   else hard_forward)
+            self._device_fwd = partial(fwd, jt=self.rules.jt)
+        return self._device_fwd, self.metric.k
+
     @property
     def accuracy(self) -> float:
         """Analyzer-defined accuracy in percent (drives the reported score

@@ -302,10 +302,18 @@ def make_eval_step(module, normalize=None):
     return step
 
 
-def make_eval_count_step(module, k: int, normalize=None):
-    """Jitted top-k hit counting: returns device scalars (hits, count) so
-    the eval loop never syncs per batch (the host pulls two ints once per
-    eval). Padded samples are masked by ``valid``."""
+def make_eval_count_step(module, k: int, normalize=None, analyzer_fwd=None,
+                         analyzer_k: int = 1):
+    """Jitted top-k hit counting: returns device scalars (hits[, analyzer
+    hits], count) so the eval loop never syncs per batch (the host pulls a
+    few ints once per eval). Padded samples are masked by ``valid``.
+
+    ``analyzer_fwd`` (from DecisionRules.device_eval): a pure logits ->
+    scores fn re-scored inside the SAME step, sharing the backbone forward
+    — the NBDT analyzer accuracy comes out as one more device scalar
+    instead of a per-batch host pull. Under a mesh, the sums reduce over
+    the global (sharded) batch, so the returned scalars are already
+    global — no host-side all-reduce needed, even multi-host."""
     prologue = _normalize_prologue(normalize)
 
     @jax.jit
@@ -314,10 +322,18 @@ def make_eval_count_step(module, k: int, normalize=None):
             {"params": params, "batch_stats": batch_stats}, prologue(x),
             train=False,
         )
-        kk = min(k, logits.shape[-1])
-        _, topk = jax.lax.top_k(logits, kk)
-        hits = (topk == y[:, None]).any(-1) & valid
-        return hits.sum(), valid.sum()
+
+        def topk_hits(scores, kk):
+            kk = min(kk, scores.shape[-1])
+            _, topk = jax.lax.top_k(scores, kk)
+            return ((topk == y[:, None]).any(-1) & valid).sum()
+
+        if analyzer_fwd is None:
+            return topk_hits(logits, k), valid.sum()
+        return (topk_hits(logits, k),
+                topk_hits(analyzer_fwd(logits.astype(jnp.float32)),
+                          analyzer_k),
+                valid.sum())
 
     return step
 
@@ -594,30 +610,55 @@ class Trainer:
         from . import metrics
 
         metric = getattr(metrics, self.config.metric)()
-        fast = (self.analyzer is None and self.mesh is None
+        # Device-countable analyzer (plain DecisionRules): its NBDT score
+        # rides the same jitted count step — see analysis.device_eval.
+        analyzer_dev = None
+        if (self.analyzer is not None
+                and hasattr(self.analyzer, "device_eval")):
+            analyzer_dev = self.analyzer.device_eval()
+        fast = ((self.analyzer is None or analyzer_dev is not None)
                 and not self.config.disable_test_eval
                 and isinstance(metric, metrics.TopK))
         if fast:
             # Sync-free fast path: nothing consumes per-batch host values,
-            # so count top-k hits on device and pull two ints at the end —
+            # so count top-k hits on device and pull a few ints at the end —
             # per-batch logits transfers cost one transport RTT each, which
-            # dominates eval on high-RTT links (see train_epoch). Falls
+            # dominates eval on high-RTT links (see train_epoch). Works
+            # under a mesh too: the jitted sums reduce over the global
+            # batch, so the scalars are already global on every host. Falls
             # through to the shared report/checkpoint tail below.
-            if getattr(self, "_count_k", None) != metric.k:
-                self._count_k = metric.k
+            key = (metric.k, analyzer_dev[0] if analyzer_dev else None)
+            if getattr(self, "_count_key", None) != key:
+                self._count_key = key
                 self._count_step = make_eval_count_step(
-                    self.module, metric.k, normalize=self.device_normalize_eval
+                    self.module, metric.k,
+                    normalize=self.device_normalize_eval,
+                    analyzer_fwd=analyzer_dev[0] if analyzer_dev else None,
+                    analyzer_k=analyzer_dev[1] if analyzer_dev else 1,
                 )
-            hits = total = None
+            if self.analyzer is not None:
+                self.analyzer.start_test(epoch)
+            hits = ahits = total = None
             for x, y, valid in self.testloader:
-                h, t = self._count_step(
+                res = self._count_step(
                     self.params, self.batch_stats, self._put(x),
-                    jnp.asarray(np.asarray(y)), jnp.asarray(np.asarray(valid)),
+                    self._put(np.asarray(y)), self._put(np.asarray(valid)),
                 )
+                h, t = res[0], res[-1]
                 hits = h if hits is None else hits + h
                 total = t if total is None else total + t
+                if analyzer_dev is not None:
+                    a = res[1]
+                    ahits = a if ahits is None else ahits + a
             metric.correct = int(hits) if hits is not None else 0
             metric.total = int(total) if total is not None else 0
+            if self.analyzer is not None:
+                if analyzer_dev is not None:
+                    self.analyzer.metric.correct = (
+                        int(ahits) if ahits is not None else 0
+                    )
+                    self.analyzer.metric.total = metric.total
+                self.analyzer.end_test(epoch)
             return self._finish_eval(metric, epoch, checkpoint)
         if self.analyzer is not None:
             self.analyzer.start_test(epoch)
