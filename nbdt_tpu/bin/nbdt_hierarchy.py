@@ -59,6 +59,10 @@ def get_parser() -> argparse.ArgumentParser:
                         help="render only the subtree under this wnid")
     parser.add_argument("--vis-hide", nargs="*", default=[],
                         help="wnids whose subtrees are hidden")
+    parser.add_argument("--vis-collapse", nargs="*", default=[],
+                        help="wnids whose subtrees start collapsed "
+                             "(expandable by click, like the reference's "
+                             "--vis-hide auto-click behavior)")
     parser.add_argument("--vis-force-labels-left", nargs="*", default=[])
     parser.add_argument("--vis-width", type=int, default=0)
     parser.add_argument("--vis-height", type=int, default=0)
@@ -170,6 +174,7 @@ def main(argv=None):
             color_path_to=args.vis_color_path_to,
             vis_root=args.vis_root,
             hide=args.vis_hide,
+            collapse=args.vis_collapse,
             force_labels_left=args.vis_force_labels_left,
             width=args.vis_width,
             height=args.vis_height,

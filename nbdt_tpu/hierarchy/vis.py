@@ -167,71 +167,105 @@ _TEMPLATE = """<!DOCTYPE html>
 <header><strong>CONFIG_TITLE</strong> &mdash; nbdt-tpu hierarchy CONFIG_COLORMAP</header>
 <svg id="tree"></svg>
 <script>
+// Interactive collapsible tree, feature-matched to the reference d3.v3
+// template (tree-template.html): click toggles a node's subtree with a
+// 750 ms transition (children <-> _children, the reference's click()),
+// collapsed nodes render filled, CONFIG collapse ids auto-collapse at load
+// via dispatched click events (the reference's d3_onload/CONFIG_HIDE), and
+// wheel-zoom + drag-pan replace d3.behavior.zoom.
 const data = CONFIG_TREE_DATA;
 const OPTS = CONFIG_OPTS;
 const Z = OPTS.zoom || 1;
 const NODE_H = 22 * Z + (OPTS.dy || 0), NODE_W = 170 * Z, MARGIN = (OPTS.margin || 40);
-
-function layout(node, depth, state) {
-  node.depth = depth;
-  if (node.children && node.children.length) {
-    let ys = [];
-    for (const child of node.children) { layout(child, depth + 1, state); ys.push(child.y); }
-    node.y = (Math.min(...ys) + Math.max(...ys)) / 2;
-  } else {
-    node.y = state.nextY; state.nextY += NODE_H;
-  }
-  node.x = MARGIN + (OPTS.marginLeft || 0) + depth * NODE_W;
-}
-
-function flatten(node, nodes, links) {
-  nodes.push(node);
-  for (const child of (node.children || [])) {
-    links.push([node, child]);
-    flatten(child, nodes, links);
-  }
-}
-
-const state = {nextY: MARGIN + (OPTS.marginTop || 0)};
-layout(data, 0, state);
-const nodes = [], links = [];
-flatten(data, nodes, links);
-if (OPTS.rootY !== null && OPTS.rootY !== undefined) {
-  const shift = OPTS.rootY - data.y;
-  for (const n of nodes) n.y += shift;
-  state.nextY += Math.max(shift, 0);
-}
-const S = OPTS.scale || 1;
-const svg = document.getElementById('tree');
-const width = OPTS.width || (Math.max(...nodes.map(n => n.x)) + NODE_W + MARGIN);
-const height = OPTS.height || (state.nextY + MARGIN);
-svg.setAttribute('width', width * S);
-svg.setAttribute('height', height * S);
+const DURATION = 750;
 const NS = 'http://www.w3.org/2000/svg';
+const BG = getComputedStyle(document.body).getPropertyValue('--bg').trim() || '#fff';
+
+const svg = document.getElementById('tree');
 const rootG = document.createElementNS(NS, 'g');
-rootG.setAttribute('transform', `scale(${S})`);
 svg.appendChild(rootG);
 
-for (const [a, b] of links) {
-  const p = document.createElementNS(NS, 'path');
-  if (OPTS.curved === false) {
-    p.setAttribute('d', `M${a.x},${a.y} L${b.x},${b.y}`);
-  } else {
-    const mx = (a.x + b.x) / 2;
-    p.setAttribute('d', `M${a.x},${a.y} C${mx},${a.y} ${mx},${b.y} ${b.x},${b.y}`);
-  }
-  p.setAttribute('class', 'link');
-  rootG.appendChild(p);
+// --- zoom (wheel) + pan (drag): the d3.behavior.zoom equivalent ---------
+const view = {x: 0, y: 0, k: OPTS.scale || 1};
+function applyView() {
+  rootG.setAttribute('transform',
+    `translate(${view.x},${view.y}) scale(${view.k})`);
 }
-for (const n of nodes) {
+svg.addEventListener('wheel', e => {
+  e.preventDefault();
+  const f = Math.exp(-e.deltaY * 0.002);
+  const r = svg.getBoundingClientRect();
+  const px = e.clientX - r.left, py = e.clientY - r.top;
+  view.x = px - (px - view.x) * f;
+  view.y = py - (py - view.y) * f;
+  view.k *= f;
+  applyView();
+}, {passive: false});
+let dragState = null;
+svg.addEventListener('mousedown', e => {
+  dragState = {x: e.clientX - view.x, y: e.clientY - view.y};
+});
+window.addEventListener('mousemove', e => {
+  if (!dragState) return;
+  view.x = e.clientX - dragState.x;
+  view.y = e.clientY - dragState.y;
+  applyView();
+});
+window.addEventListener('mouseup', () => { dragState = null; });
+
+// --- tree state ----------------------------------------------------------
+const all = [];
+(function init(n, parent) {
+  n.parent = parent;
+  all.push(n);
+  (n.children || []).forEach(c => init(c, n));
+})(data, null);
+
+function visibleNodes() {
+  const out = [];
+  (function rec(n) { out.push(n); (n.children || []).forEach(rec); })(data);
+  return out;
+}
+
+function layout() {
+  const state = {nextY: MARGIN + (OPTS.marginTop || 0)};
+  (function rec(n, depth) {
+    n.depth = depth;
+    if (n.children && n.children.length) {
+      const ys = [];
+      for (const c of n.children) { rec(c, depth + 1); ys.push(c.ty); }
+      n.ty = (Math.min(...ys) + Math.max(...ys)) / 2;
+    } else {
+      n.ty = state.nextY; state.nextY += NODE_H;
+    }
+    n.tx = MARGIN + (OPTS.marginLeft || 0) + depth * NODE_W;
+  })(data, 0);
+  if (OPTS.rootY !== null && OPTS.rootY !== undefined) {
+    const shift = OPTS.rootY - data.ty;
+    visibleNodes().forEach(n => { n.ty += shift; });
+    state.nextY += Math.max(shift, 0);
+  }
+  return state.nextY;
+}
+
+function nearestVisibleAncestor(n) {
+  let p = n.parent;
+  while (p) {
+    if (visSet.has(p.id)) return p;
+    p = p.parent;
+  }
+  return data;
+}
+
+function makeNode(n) {
   const g = document.createElementNS(NS, 'g');
   g.setAttribute('class', 'node');
-  g.setAttribute('transform', `translate(${n.x},${n.y})`);
+  g.setAttribute('id', n.id);
   const c = document.createElementNS(NS, 'circle');
   c.setAttribute('r', 5 * Z);
   c.setAttribute('stroke', n.color || '#1f77b4');
   g.appendChild(c);
-  const left = n.labelLeft || !!n.children;
+  const left = n.labelLeft || !!(n.children || n._children);
   const t = document.createElementNS(NS, 'text');
   t.setAttribute('dx', left ? -9 : 9);
   t.setAttribute('dy', 4);
@@ -269,7 +303,125 @@ for (const n of nodes) {
     pr.textContent = (n.prob * 100).toFixed(2) + '%';
     g.appendChild(pr);
   }
-  rootG.appendChild(g);
+  g.addEventListener('click', e => {
+    if (e.stopPropagation) e.stopPropagation();
+    toggle(n);
+  });
+  return g;
+}
+
+function linkPath(ax, ay, bx, by) {
+  if (OPTS.curved === false) return `M${ax},${ay} L${bx},${by}`;
+  const mx = (ax + bx) / 2;
+  return `M${ax},${ay} C${mx},${ay} ${mx},${by} ${bx},${by}`;
+}
+
+// Toggle children on click (reference template click()).
+function toggle(n) {
+  if (n.children) {
+    n._children = n.children;
+    n.children = null;
+  } else if (n._children) {
+    n.children = n._children;
+    n._children = null;
+  } else {
+    return; // leaf
+  }
+  update();
+}
+
+let visSet = new Set();
+function update() {
+  layout();
+  visSet = new Set(visibleNodes().map(n => n.id));
+  for (const n of all) {
+    const shown = visSet.has(n.id);
+    if (!n.g && shown) {
+      // enter: appear at the nearest visible ancestor's current position
+      const anc = nearestVisibleAncestor(n);
+      n.x = (anc.x !== undefined ? anc.x : anc.tx);
+      n.y = (anc.y !== undefined ? anc.y : anc.ty);
+      n.g = makeNode(n);
+      rootG.appendChild(n.g);
+      if (n.parent) {
+        n.link = document.createElementNS(NS, 'path');
+        n.link.setAttribute('class', 'link');
+        rootG.insertBefore(n.link, rootG.firstChild);
+      }
+    }
+    if (!n.g) continue;
+    if (shown) {
+      n.g.style.display = '';
+      if (n.link) n.link.style.display = '';
+      // collapsed indicator: filled circle (reference hatch fill)
+      n.g.querySelector('circle').setAttribute(
+        'fill', n._children ? (n.color || '#1f77b4') : BG);
+    } else {
+      // exit: slide to the nearest visible ancestor, then hide
+      const anc = nearestVisibleAncestor(n);
+      n.tx = anc.tx; n.ty = anc.ty;
+      n.hideAfter = true;
+    }
+  }
+  animate();
+}
+
+let animToken = 0;
+function animate() {
+  const token = ++animToken;
+  const t0 = performance.now();
+  const starts = all.map(n => ({n, x: n.x !== undefined ? n.x : n.tx,
+                                y: n.y !== undefined ? n.y : n.ty}));
+  function frame(t) {
+    if (token !== animToken) return;
+    const p = Math.min(1, (t - t0) / DURATION);
+    const e = p * (2 - p); // ease-out
+    for (const s of starts) {
+      const n = s.n;
+      if (!n.g) continue;
+      n.x = s.x + (n.tx - s.x) * e;
+      n.y = s.y + (n.ty - s.y) * e;
+      n.g.setAttribute('transform', `translate(${n.x},${n.y})`);
+      if (n.link && n.parent) {
+        n.link.setAttribute('d', linkPath(n.parent.x !== undefined ?
+          n.parent.x : n.parent.tx, n.parent.y !== undefined ?
+          n.parent.y : n.parent.ty, n.x, n.y));
+      }
+    }
+    if (p < 1) {
+      requestAnimationFrame(frame);
+    } else {
+      for (const s of starts) {
+        const n = s.n;
+        if (n.hideAfter && n.g) {
+          n.g.style.display = 'none';
+          if (n.link) n.link.style.display = 'none';
+          n.hideAfter = false;
+        }
+      }
+    }
+  }
+  requestAnimationFrame(frame);
+}
+
+// initial sizing from the fully-expanded layout; zoom/pan handles overflow
+const bottom = layout();
+const fullNodes = visibleNodes();
+const width = OPTS.width ||
+  (Math.max(...fullNodes.map(n => n.tx)) + NODE_W + MARGIN);
+const height = OPTS.height || (bottom + MARGIN);
+const S = OPTS.scale || 1;
+svg.setAttribute('width', width * S);
+svg.setAttribute('height', height * S);
+applyView();
+for (const n of all) { n.x = n.tx; n.y = n.ty; }
+update();
+
+// auto-collapse configured subtrees at load (reference d3_onload: it
+// dispatches click events on CONFIG_HIDE element ids)
+for (const id of (OPTS.collapse || [])) {
+  const el = document.getElementById(id);
+  if (el) el.dispatchEvent(new Event('click'));
 }
 </script>
 </body>
@@ -299,6 +451,7 @@ def generate_vis(
     scale: float = 1.0,
     root_y: Optional[float] = None,
     colormap: Optional[str] = None,
+    collapse: Sequence[str] = (),
 ) -> str:
     """Template substitution (reference hierarchy.py:344-411 mechanism).
 
@@ -306,7 +459,10 @@ def generate_vis(
     from zoom which also spreads the layout); ``root_y`` pins the root's
     vertical position (reference --vis-root-y); ``colormap`` embeds a
     legend image in the header when the file exists (reference
-    --vis-colormap, hierarchy.py:395-401)."""
+    --vis-colormap, hierarchy.py:395-401); ``collapse`` lists wnids whose
+    subtrees start collapsed — auto-clicked at load exactly like the
+    reference's CONFIG_HIDE/d3_onload (the subtree stays expandable by
+    click, unlike ``hide`` which drops it from the data)."""
     bg, fg = _THEMES.get(theme, _THEMES["regular"])
     opts = {
         "zoom": zoom,
@@ -318,6 +474,7 @@ def generate_vis(
         "dy": above_dy + below_dy,
         "scale": scale,
         "rootY": None if root_y in (None, "null") else float(root_y),
+        "collapse": list(collapse),
     }
     colormap_html = ""
     if isinstance(colormap, str) and os.path.exists(colormap):

@@ -439,3 +439,37 @@ def test_mini_corpus_superclass_analyzer_end_to_end(cifar10_mini_corpus):
     predicted, mapped_targets = a.forward(logits, targets)
     assert predicted.tolist() == [0, 0, 0, 0]
     assert mapped_targets.tolist() == [0, 0, 0, 0]
+
+
+def test_vis_interactive_handlers_wired(tmp_path):
+    """The emitted HTML wires the reference template's interactions
+    (tree-template.html): collapse-on-click (children <-> _children toggle,
+    750ms transition), wheel zoom + drag pan (d3.behavior.zoom equivalent),
+    collapsed-node fill indicator, and load-time auto-collapse via
+    dispatched click events (CONFIG_HIDE/d3_onload behavior)."""
+    from nbdt_tpu.hierarchy.digraph import read_graph
+    from nbdt_tpu.hierarchy.vis import generate_hierarchy_vis_from
+
+    G = read_graph("nbdt_tpu/hierarchies/CIFAR10/graph-wordnet.json")
+    out = generate_hierarchy_vis_from(
+        G, dataset="CIFAR10", path_html=str(tmp_path / "t.html"),
+        collapse=["n01471682"],
+    )
+    html = open(out).read()
+    # click toggle (reference click(): swap children/_children, update)
+    assert "addEventListener('click'" in html
+    assert "n._children = n.children" in html
+    assert "n.children = n._children" in html
+    assert "DURATION = 750" in html
+    # zoom + pan
+    assert "addEventListener('wheel'" in html
+    assert "addEventListener('mousedown'" in html
+    assert "addEventListener('mousemove'" in html
+    # collapsed-state indicator (reference hatch fill on _children)
+    assert "n._children ?" in html
+    # load-time auto-collapse by dispatched clicks, with the ids plumbed
+    assert "dispatchEvent(new Event('click'))" in html
+    assert '"collapse": ["n01471682"]' in html
+    # every node g carries its wnid as the element id (click target +
+    # reference getElementById contract)
+    assert "g.setAttribute('id', n.id)" in html
