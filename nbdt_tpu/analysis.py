@@ -293,7 +293,22 @@ class ScoreSave(Noop):
                 img = np.asarray(image)
                 if self.inverse_transform is not None:
                     img = self.inverse_transform(img)
-                img = np.clip(img * 255 if img.max() <= 1.5 else img, 0, 255)
+                # Explicit pixel contract (no range-sniffing): uint8 is
+                # written as-is; float must be un-normalized [0,1] — the
+                # Trainer guarantees that via _analyzer_images, and a
+                # normalized image slipping through would silently write
+                # garbage JPEGs otherwise.
+                if img.dtype != np.uint8:
+                    lo, hi = float(img.min()), float(img.max())
+                    if lo < -0.01 or hi > 1.01:
+                        raise ValueError(
+                            f"{type(self).__name__} received float images "
+                            f"outside [0,1] (range [{lo:.3g}, {hi:.3g}]): "
+                            "pass the dataset's transform_val_inverse() as "
+                            "inverse_transform= so dumps are un-normalized "
+                            "(reference applies it in main.py:276-277)."
+                        )
+                    img = np.clip(img * 255.0, 0, 255)
                 Image.fromarray(img.astype(np.uint8)).save(
                     str(self.path).format(
                         epoch=self.epoch, i=i, suffix=suffix, score=score,

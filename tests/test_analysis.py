@@ -194,3 +194,25 @@ def test_visualize_decision_node_scores_by_logit(synthetic_tree, rng):
     out = an.rules.forward_nodes(x)[parent.wnid]
     k = parent.wnid_to_child_index(wnid)
     np.testing.assert_allclose(scores, out["logits"][:, k], rtol=1e-6)
+
+
+def test_score_save_pixel_contract(tmp_path):
+    """ScoreSave's dump contract is explicit, not range-sniffed: uint8
+    passes through, [0,1] floats are scaled, and normalized floats outside
+    [0,1] raise with guidance (previously they silently wrote garbage)."""
+    pytest.importorskip("PIL")
+    from nbdt_tpu.analysis import Entropy
+
+    def run(img):
+        a = Entropy(classes=["a", "b"], save_k=1,
+                    path=str(tmp_path / "s-{suffix}-{i}-{score:.2e}.jpg"))
+        a.start_epoch(0)
+        a.start_test(0)
+        logits = np.array([[2.0, -1.0]], np.float32)
+        a.update_batch(logits, np.array([0]), [img])
+        a.end_test(0)
+
+    run(np.zeros((8, 8, 3), np.uint8) + 200)            # uint8: as-is
+    run(np.full((8, 8, 3), 0.5, np.float32))            # [0,1] float: x255
+    with pytest.raises(ValueError, match="transform_val_inverse"):
+        run(np.full((8, 8, 3), 2.3, np.float32))        # normalized: loud
