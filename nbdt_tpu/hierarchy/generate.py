@@ -90,8 +90,12 @@ def get_classifier_from_flax_params(params):
         sub = tree.get(name) if isinstance(tree, Mapping) else None
         if isinstance(sub, Mapping) and "kernel" in sub:
             bias = sub.get("bias")
-            return (np.asarray(sub["kernel"]),
-                    None if bias is None else np.asarray(bias))
+            kernel = np.asarray(sub["kernel"])
+            if kernel.ndim == 4:
+                # fully-convolutional 1x1 classifier (SqueezeNet): the
+                # [1, 1, D, C] conv kernel IS the class-embedding matrix
+                kernel = kernel.reshape(kernel.shape[-2], kernel.shape[-1])
+            return kernel, None if bias is None else np.asarray(bias)
     return None, None
 
 

@@ -41,6 +41,8 @@ from .resnet import (
     resnet101,
     resnet152,
 )
+from .shufflenet import ShuffleNetV2, shufflenet_v2_x0_5, shufflenet_v2_x1_0
+from .squeezenet import SqueezeNet, squeezenet1_0, squeezenet1_1
 from .vgg import VGG, vgg11_bn, vgg16_bn
 from .vit import ViT, vit_b16, vit_s16
 from .wideresnet import WRN, wrn28_10, wrn28_10_cifar10, wrn28_10_cifar100
@@ -78,6 +80,10 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "densenet169": densenet169,
     "vgg11_bn": vgg11_bn,
     "vgg16_bn": vgg16_bn,
+    "squeezenet1_0": squeezenet1_0,
+    "squeezenet1_1": squeezenet1_1,
+    "shufflenet_v2_x0_5": shufflenet_v2_x0_5,
+    "shufflenet_v2_x1_0": shufflenet_v2_x1_0,
 }
 
 

@@ -115,6 +115,60 @@ def _wrn_key_to_path(key: str) -> Optional[Tuple[str, Tuple[str, ...], str]]:
     return None
 
 
+def _squeezenet_key_to_path(key: str) -> Optional[Tuple[str, Tuple[str, ...], str]]:
+    """torchvision SqueezeNet keys (features.{i}[.fire-sub], classifier.1)
+    -> Flax paths (models/squeezenet.py mirrors the Sequential indices)."""
+    m = re.fullmatch(r"features\.(\d+)\.(weight|bias)", key)
+    if m:
+        return ("params", (f"f{m.group(1)}",),
+                "conv" if m.group(2) == "weight" else "bias")
+    m = re.fullmatch(
+        r"features\.(\d+)\.(squeeze|expand1x1|expand3x3)\.(weight|bias)", key
+    )
+    if m:
+        return ("params", (f"f{m.group(1)}", m.group(2)),
+                "conv" if m.group(3) == "weight" else "bias")
+    m = re.fullmatch(r"classifier\.1\.(weight|bias)", key)
+    if m:
+        return ("params", ("classifier",),
+                "conv" if m.group(1) == "weight" else "bias")
+    return None
+
+
+# which Sequential indices inside a ShuffleNetV2 branch are convs (the rest
+# are BatchNorms; ReLUs carry no weights)
+_SHUFFLE_CONV_IDX = {1: {0, 2}, 2: {0, 3, 5}}
+
+
+def _shufflenet_key_to_path(key: str) -> Optional[Tuple[str, Tuple[str, ...], str]]:
+    """torchvision ShuffleNetV2 keys -> Flax paths
+    (models/shufflenet.py mirrors conv1/stage{s}.{u}.branch{b}.{i}/conv5/fc)."""
+    if key in ("fc.weight", "fc.bias"):
+        return ("params", ("fc",), "linear-" + key.split(".")[1])
+    m = re.fullmatch(r"conv([15])\.(\d)\.(\w+)", key)
+    if m:
+        block = f"conv{m.group(1)}_{m.group(2)}"
+        if m.group(2) == "0":
+            return ("params", (block,), "conv") if m.group(3) == "weight" \
+                else None
+        if m.group(3) in _BN_PARTS:
+            coll, leaf = _BN_PARTS[m.group(3)]
+            return (coll, (block,), "bn-" + leaf)
+        return None
+    m = re.fullmatch(r"stage(\d)\.(\d+)\.branch(\d)\.(\d)\.(\w+)", key)
+    if m:
+        unit = f"stage{m.group(1)}_{m.group(2)}"
+        b, i, part = int(m.group(3)), int(m.group(4)), m.group(5)
+        sub = f"b{b}_{i}"
+        if i in _SHUFFLE_CONV_IDX[b]:
+            return ("params", (unit, sub), "conv") if part == "weight" \
+                else None
+        if part in _BN_PARTS:
+            coll, leaf = _BN_PARTS[part]
+            return (coll, (unit, sub), "bn-" + leaf)
+    return None
+
+
 _ARCH_MAPPERS = {
     "ResNet10": _resnet_key_to_path,
     "ResNet18": _resnet_key_to_path,
@@ -125,6 +179,10 @@ _ARCH_MAPPERS = {
     "wrn28_10": _wrn_key_to_path,
     "wrn28_10_cifar10": _wrn_key_to_path,
     "wrn28_10_cifar100": _wrn_key_to_path,
+    "squeezenet1_0": _squeezenet_key_to_path,
+    "squeezenet1_1": _squeezenet_key_to_path,
+    "shufflenet_v2_x0_5": _shufflenet_key_to_path,
+    "shufflenet_v2_x1_0": _shufflenet_key_to_path,
 }
 
 
@@ -376,6 +434,8 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray], arch: str) -> di
             _set(variables[coll], path + ("kernel",), value.T)
         elif kind == "linear-bias":
             _set(variables[coll], path + ("bias",), value)
+        elif kind == "bias":  # conv bias (SqueezeNet)
+            _set(variables[coll], path + ("bias",), value)
         elif kind.startswith("bn-"):
             _set(variables[coll], path + (kind[3:],), value)
         else:  # pragma: no cover
@@ -407,7 +467,7 @@ def flax_to_torch_state_dict(variables: dict, arch: str) -> Dict[str, np.ndarray
             out[torch_key] = np.transpose(node["kernel"], (3, 2, 0, 1))
         elif kind == "linear-weight":
             out[torch_key] = np.asarray(node["kernel"]).T
-        elif kind == "linear-bias":
+        elif kind in ("linear-bias", "bias"):
             out[torch_key] = np.asarray(node["bias"])
         elif kind.startswith("bn-"):
             out[torch_key] = np.asarray(node[kind[3:]])
@@ -423,6 +483,39 @@ def flax_to_torch_state_dict(variables: dict, arch: str) -> Dict[str, np.ndarray
 def _enumerate_torch_keys(params, stats, arch):
     """Generate candidate torch keys from the Flax module names."""
     keys = []
+    bn4 = ("weight", "bias", "running_mean", "running_var")
+    if arch.startswith("squeezenet"):
+        for name in params:
+            if name == "classifier":
+                keys += ["classifier.1.weight", "classifier.1.bias"]
+            elif name.startswith("f"):
+                idx = name[1:]
+                if "squeeze" in params[name]:
+                    for s in ("squeeze", "expand1x1", "expand3x3"):
+                        keys += [f"features.{idx}.{s}.weight",
+                                 f"features.{idx}.{s}.bias"]
+                else:
+                    keys += [f"features.{idx}.weight",
+                             f"features.{idx}.bias"]
+        return keys
+    if arch.startswith("shufflenet"):
+        for name in params:
+            if name == "fc":
+                keys += ["fc.weight", "fc.bias"]
+            elif name in ("conv1_0", "conv5_0"):
+                keys.append(f"{name.split('_')[0]}.0.weight")
+            elif name in ("conv1_1", "conv5_1"):
+                keys += [f"{name.split('_')[0]}.1.{p}" for p in bn4]
+            elif name.startswith("stage"):
+                s, u = name.replace("stage", "").split("_")
+                for sub in params[name]:
+                    b, i = int(sub[1]), int(sub[3:])
+                    base = f"stage{s}.{u}.branch{b}.{i}"
+                    if i in _SHUFFLE_CONV_IDX[b]:
+                        keys.append(f"{base}.weight")
+                    else:
+                        keys += [f"{base}.{p}" for p in bn4]
+        return keys
     if arch.startswith("wrn"):
         for name in params:
             if name == "init_conv":

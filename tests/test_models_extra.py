@@ -229,3 +229,202 @@ def test_nbdt_loads_msgpack_checkpoint(tmp_path):
     out = np.asarray(model(x))
     assert out.shape == (2, 10)
     assert np.isfinite(out).all()
+
+
+def _torch_squeezenet(version="1_0", num_classes=10):
+    """torchvision SqueezeNet topology with torchvision key names
+    (torchvision is not installed here; transcribed from its
+    squeezenet.py — Fire modules, ceil-mode 3x2 max pools, conv
+    classifier)."""
+    torch = _pytest.importorskip("torch")
+    import torch.nn as nn
+
+    class Fire(nn.Module):
+        def __init__(self, cin, s, e1, e3):
+            super().__init__()
+            self.squeeze = nn.Conv2d(cin, s, 1)
+            self.squeeze_activation = nn.ReLU(inplace=True)
+            self.expand1x1 = nn.Conv2d(s, e1, 1)
+            self.expand1x1_activation = nn.ReLU(inplace=True)
+            self.expand3x3 = nn.Conv2d(s, e3, 3, padding=1)
+            self.expand3x3_activation = nn.ReLU(inplace=True)
+
+        def forward(self, x):
+            x = self.squeeze_activation(self.squeeze(x))
+            return torch.cat([
+                self.expand1x1_activation(self.expand1x1(x)),
+                self.expand3x3_activation(self.expand3x3(x)),
+            ], 1)
+
+    pool = lambda: nn.MaxPool2d(3, 2, ceil_mode=True)
+    if version == "1_0":
+        feats = [
+            nn.Conv2d(3, 96, 7, 2), nn.ReLU(True), pool(),
+            Fire(96, 16, 64, 64), Fire(128, 16, 64, 64),
+            Fire(128, 32, 128, 128), pool(),
+            Fire(256, 32, 128, 128), Fire(256, 48, 192, 192),
+            Fire(384, 48, 192, 192), Fire(384, 64, 256, 256), pool(),
+            Fire(512, 64, 256, 256),
+        ]
+    else:
+        feats = [
+            nn.Conv2d(3, 64, 3, 2), nn.ReLU(True), pool(),
+            Fire(64, 16, 64, 64), Fire(128, 16, 64, 64), pool(),
+            Fire(128, 32, 128, 128), Fire(256, 32, 128, 128), pool(),
+            Fire(256, 48, 192, 192), Fire(384, 48, 192, 192),
+            Fire(384, 64, 256, 256), Fire(512, 64, 256, 256),
+        ]
+
+    class TorchSqueezeNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(*feats)
+            self.classifier = nn.Sequential(
+                nn.Dropout(), nn.Conv2d(512, num_classes, 1),
+                nn.ReLU(True), nn.AdaptiveAvgPool2d(1),
+            )
+
+        def forward(self, x):
+            return torch.flatten(self.classifier(self.features(x)), 1)
+
+    return TorchSqueezeNet()
+
+
+def _torch_shufflenet(num_classes=10):
+    """torchvision ShuffleNetV2 x1.0 topology with torchvision key names
+    (transcribed from its shufflenetv2.py)."""
+    torch = _pytest.importorskip("torch")
+    import torch.nn as nn
+
+    def shuffle(x, groups=2):
+        b, c, h, w = x.shape
+        return (x.view(b, groups, c // groups, h, w)
+                .transpose(1, 2).contiguous().view(b, c, h, w))
+
+    class Unit(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.stride = stride
+            bc = cout // 2
+            if stride > 1:
+                self.branch1 = nn.Sequential(
+                    nn.Conv2d(cin, cin, 3, stride, 1, groups=cin, bias=False),
+                    nn.BatchNorm2d(cin),
+                    nn.Conv2d(cin, bc, 1, bias=False),
+                    nn.BatchNorm2d(bc), nn.ReLU(True),
+                )
+            b2in = cin if stride > 1 else cin // 2
+            self.branch2 = nn.Sequential(
+                nn.Conv2d(b2in, bc, 1, bias=False), nn.BatchNorm2d(bc),
+                nn.ReLU(True),
+                nn.Conv2d(bc, bc, 3, stride, 1, groups=bc, bias=False),
+                nn.BatchNorm2d(bc),
+                nn.Conv2d(bc, bc, 1, bias=False), nn.BatchNorm2d(bc),
+                nn.ReLU(True),
+            )
+
+        def forward(self, x):
+            if self.stride == 1:
+                x1, x2 = x.chunk(2, dim=1)
+                out = torch.cat((x1, self.branch2(x2)), 1)
+            else:
+                out = torch.cat((self.branch1(x), self.branch2(x)), 1)
+            return shuffle(out)
+
+    class TorchShuffleNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            chans = (24, 116, 232, 464, 1024)
+            self.conv1 = nn.Sequential(
+                nn.Conv2d(3, 24, 3, 2, 1, bias=False),
+                nn.BatchNorm2d(24), nn.ReLU(True),
+            )
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            cin = 24
+            for si, (reps, c) in enumerate(zip((4, 8, 4), chans[1:4]),
+                                           start=2):
+                units = [Unit(cin, c, 2)]
+                cin = c
+                units += [Unit(cin, c, 1) for _ in range(reps - 1)]
+                setattr(self, f"stage{si}", nn.Sequential(*units))
+            self.conv5 = nn.Sequential(
+                nn.Conv2d(464, 1024, 1, bias=False),
+                nn.BatchNorm2d(1024), nn.ReLU(True),
+            )
+            self.fc = nn.Linear(1024, num_classes)
+
+        def forward(self, x):
+            x = self.maxpool(self.conv1(x))
+            x = self.stage4(self.stage3(self.stage2(x)))
+            x = self.conv5(x)
+            return self.fc(x.mean([2, 3]))
+
+    return TorchShuffleNet()
+
+
+@_pytest.mark.parametrize("arch,builder", [
+    ("squeezenet1_0", lambda: _torch_squeezenet("1_0")),
+    ("squeezenet1_1", lambda: _torch_squeezenet("1_1")),
+    ("shufflenet_v2_x1_0", _torch_shufflenet),
+])
+def test_new_zoo_torch_parity(arch, builder):
+    """Converted torchvision-style weights produce the same logits in Flax
+    (eval mode, randomized BN stats) for the round-3 zoo additions."""
+    torch = _pytest.importorskip("torch")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nbdt_tpu.models import get_model
+    from nbdt_tpu.models.convert import torch_state_dict_to_flax
+
+    tmodel = builder().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = torch_state_dict_to_flax(sd, arch=arch)
+
+    module = get_model(arch, 10)
+    x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    ours = np.asarray(module.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)
+
+
+def test_new_zoo_centers_and_roundtrip():
+    """Hierarchy induction probes the new heads (SqueezeNet's 1x1-conv
+    classifier included), and the converter round-trips flax -> torch ->
+    flax for the new families."""
+    import numpy as np
+
+    from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.models.convert import (
+        flax_to_torch_state_dict,
+        torch_state_dict_to_flax,
+    )
+
+    for arch, feat in (("squeezenet1_1", 512), ("shufflenet_v2_x1_0", 1024)):
+        module, variables = init_model(arch, 10, (64, 64, 3))
+        centers = get_centers_from_flax_params(variables["params"])
+        assert centers is not None and centers.shape == (10, feat), arch
+        sd = flax_to_torch_state_dict(variables, arch=arch)
+        back = torch_state_dict_to_flax(sd, arch=arch)
+        # spot-check round-trip equality on the classifier
+        if arch.startswith("squeezenet"):
+            np.testing.assert_allclose(
+                np.asarray(variables["params"]["classifier"]["kernel"]),
+                back["params"]["classifier"]["kernel"],
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(variables["params"]["fc"]["kernel"]),
+                back["params"]["fc"]["kernel"],
+            )
+            np.testing.assert_allclose(
+                np.asarray(variables["batch_stats"]["stage2_0"]["b1_1"]["var"]),
+                back["batch_stats"]["stage2_0"]["b1_1"]["var"],
+            )
