@@ -46,6 +46,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--disable-test-eval", action="store_true")
     parser.add_argument("--checkpoint-dir", default="./checkpoint")
     parser.add_argument(
+        "--cache-dataset", action="store_true",
+        help="upload the full uint8 train set to device HBM once and "
+             "gather+augment+normalize inside the jitted step (removes the "
+             "per-step host->device transfer bound; CIFAR-scale stores "
+             "only)")
+    parser.add_argument(
         "--checkpoint-backend", default="msgpack",
         choices=("msgpack", "orbax"),
         help="orbax = sharding-aware directory checkpoints (each host "
@@ -284,6 +290,7 @@ def main(argv=None):
         path_wnids=args.path_wnids,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_backend=args.checkpoint_backend,
+        cache_dataset=args.cache_dataset,
         name=args.name,
         metric=args.metric,
         disable_test_eval=args.disable_test_eval,

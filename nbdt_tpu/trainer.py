@@ -60,6 +60,17 @@ class TrainConfig:
     disable_test_eval: bool = False
     seed: int = 0
     remat: bool = False  # jax.checkpoint the forward (trade FLOPs for HBM)
+    # Device-resident dataset mode: upload the whole uint8 train store to
+    # HBM once and gather + augment + normalize inside the jitted step —
+    # per-step host->device traffic drops to scalars, so low-bandwidth
+    # transports train at the device step rate (CIFAR10 = 150 MB resident).
+    cache_dataset: bool = False
+    cache_crop_pad: int = 4  # RandomCrop padding of the in-jit augment
+    cache_flip: bool = True  # RandomHorizontalFlip of the in-jit augment
+    # Optimizer steps per dispatch in cached mode (lax.scan): amortizes the
+    # per-call transport overhead, which rivals the step time itself on
+    # high-RTT links. 1 = one dispatch per step.
+    cache_steps_per_call: int = 16
     checkpoint_backend: str = "msgpack"  # msgpack | orbax (sharding-aware)
     # Preemption safety: write a rolling "<fname>-last" checkpoint every
     # epoch so an interrupted run resumes from its latest state, not just
@@ -192,11 +203,39 @@ def _normalize_prologue(normalize):
     return prologue
 
 
+def _device_augment(x: jnp.ndarray, key, crop_pad: int, flip: bool) -> jnp.ndarray:
+    """Random pad+crop+flip inside jit (uint8 in, uint8 out) — the
+    torchvision RandomCrop(pad)/RandomHorizontalFlip pair as vectorized
+    device ops (vmap'd dynamic_slice lowers to one gather; the flip is a
+    masked reverse on the VPU)."""
+    B, H, W, C = x.shape
+    kc, kf = jax.random.split(key)
+    if crop_pad:
+        xp = jnp.pad(x, ((0, 0), (crop_pad, crop_pad),
+                         (crop_pad, crop_pad), (0, 0)))
+        offs = jax.random.randint(kc, (B, 2), 0, 2 * crop_pad + 1)
+        # Per-image crop as two single-axis take_along_axis gathers — NOT
+        # vmap(dynamic_slice), whose batched 3-D gather costs ~9 ms/batch
+        # on a v5e (half the whole train step); the axis-wise form runs in
+        # noise (measured 25 -> 16 ms/step).
+        rows = offs[:, :1] + jnp.arange(H)[None]  # [B, H]
+        cols = offs[:, 1:] + jnp.arange(W)[None]  # [B, W]
+        x = jnp.take_along_axis(xp, rows[:, :, None, None], axis=1)
+        x = jnp.take_along_axis(x, cols[:, None, :, None], axis=2)
+    if flip:
+        f = jax.random.bernoulli(kf, 0.5, (B,))
+        x = jnp.where(f[:, None, None, None], x[:, :, ::-1, :], x)
+    return x
+
+
 def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays],
                     tsw: float = 1.0, remat: bool = False,
                     criterion_fn: Optional[Callable] = None,
                     pre_start: bool = False, opt_sharding=None,
-                    param_sharding=None, normalize=None):
+                    param_sharding=None, normalize=None,
+                    cached: bool = False, batch_size: Optional[int] = None,
+                    crop_pad: int = 4, flip: bool = True,
+                    batch_sharding=None, steps_per_call: int = 1):
     """Build the jitted train step.
 
     step(params, batch_stats, opt_state, x, y, tree_weight, xent_weight)
@@ -228,6 +267,15 @@ def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays]
     step takes RAW UINT8 batches and normalizes on device — 4x fewer
     host->device bytes, the bound on PCIe/tunnel-attached training (pair
     with ``transform_train(device_normalize=True)`` loaders).
+
+    ``cached=True``: device-resident dataset mode. The returned step's
+    signature becomes ``step(params, batch_stats, opt_state, images,
+    labels, perm, step_i, rng, tree_weight, xent_weight)`` — the caller
+    passes the (already device-resident) uint8 store and labels every call;
+    the step slices ``batch_size`` indices from the on-device permutation,
+    gathers, augments (``crop_pad``/``flip``) and normalizes in-jit.
+    Requires ``normalize``; ``batch_sharding`` pins the gathered batch's
+    mesh placement.
     """
     criterion = criterion_fn or cross_entropy
     tree_term = tree_term_fn(loss_name, jt, tsw, criterion_fn=criterion,
@@ -251,10 +299,7 @@ def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays]
             x, train=True, mutable=["batch_stats"],
         )
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, batch_stats, opt_state, x, y, tree_weight, xent_weight):
-        x = prologue(x)
-
+    def core(params, batch_stats, opt_state, x, y, tree_weight, xent_weight):
         def loss_fn(p):
             logits, mutated = forward(p, batch_stats, x)
             loss_x = criterion(logits, y)
@@ -286,7 +331,84 @@ def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays]
         }
         return new_params, new_stats, new_opt_state, metrics
 
-    return step
+    if not cached:
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(params, batch_stats, opt_state, x, y, tree_weight,
+                 xent_weight):
+            return core(params, batch_stats, opt_state, prologue(x), y,
+                        tree_weight, xent_weight)
+
+        return step
+
+    # Device-resident dataset mode: the full uint8 store lives in HBM and
+    # is passed as an ARGUMENT every step (device-resident arrays are
+    # passed by reference — NOT closed over as jit constants, which would
+    # embed ~150 MB into the lowered program and stall compilation through
+    # a remote tunnel; measured the hard way). Each step slices its batch
+    # indices from the on-device epoch permutation and augments
+    # (pad/crop/flip) + normalizes in-jit. Per-step host->device traffic
+    # is a few scalars — on a high-RTT or low-bandwidth transport (the
+    # axon tunnel, which caps host-fed training at the upload rate) this
+    # removes the transfer bound entirely and trains at the device step
+    # rate. The Trainer uploads the store once and threads it through.
+    assert normalize is not None, (
+        "cached_data requires normalize=(mean, std) — the store is raw "
+        "uint8 and must be normalized in the step"
+    )
+    assert batch_size is not None
+
+    def one_step(params, batch_stats, opt_state, images, labels, perm,
+                 step_i, rng, tree_weight, xent_weight):
+        idx = jax.lax.dynamic_slice(perm, (step_i * batch_size,),
+                                    (batch_size,))
+        x = jnp.take(images, idx, axis=0)
+        y = jnp.take(labels, idx, axis=0)
+        x = _device_augment(x, jax.random.fold_in(rng, step_i),
+                            crop_pad, flip)
+        x = prologue(x)
+        if batch_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, batch_sharding)
+            y = jax.lax.with_sharding_constraint(y, batch_sharding)
+        return core(params, batch_stats, opt_state, x, y, tree_weight,
+                    xent_weight)
+
+    if steps_per_call == 1:
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def cached_step(params, batch_stats, opt_state, images, labels,
+                        perm, step_i, rng, tree_weight, xent_weight):
+            new_p, new_s, new_o, m = one_step(
+                params, batch_stats, opt_state, images, labels, perm,
+                step_i, rng, tree_weight, xent_weight,
+            )
+            m.pop("logits")  # uniform with the scan variant
+            return new_p, new_s, new_o, m
+
+        return cached_step
+
+    # Multi-step: lax.scan runs steps_per_call optimizer steps per
+    # dispatch, so the per-call transport overhead (one RTT + arg
+    # marshalling — ~15 ms/step measured through the axon tunnel, nearly
+    # the step time itself) amortizes away. Identical math to K separate
+    # calls: the carry threads params/stats/opt through sequentially.
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def cached_multi_step(params, batch_stats, opt_state, images, labels,
+                          perm, step0, rng, tree_weight, xent_weight):
+        def body(carry, i):
+            p, s, o = carry
+            new_p, new_s, new_o, m = one_step(
+                p, s, o, images, labels, perm, step0 + i, rng,
+                tree_weight, xent_weight,
+            )
+            m.pop("logits")  # [B, C] per step would be K x B x C of HBM
+            return (new_p, new_s, new_o), m
+
+        (p, s, o), ms = jax.lax.scan(
+            body, (params, batch_stats, opt_state),
+            jnp.arange(steps_per_call),
+        )
+        return p, s, o, {k: v[-1] for k, v in ms.items()}
+
+    return cached_multi_step
 
 
 def make_eval_step(module, normalize=None):
@@ -447,6 +569,35 @@ class Trainer:
         self._pre_start = (
             config.loss == "SoftTreeLoss" and config.tree_start_epochs > 0
         )
+        self._cached_train = None
+        self._cached_n = 0
+        if config.cache_dataset:
+            if analyzer is not None:
+                # Analyzers consume per-batch host images/logits — caching
+                # would pull them back every step anyway. Keep the host
+                # loader path, loudly.
+                Colors.red(
+                    "==> cache_dataset disabled: an analyzer is attached "
+                    "(its update_batch contract needs host batches)"
+                )
+            else:
+                images, labels = self._materialize_uint8(trainloader)
+                if self.device_normalize is None:
+                    ds = trainloader.dataset
+                    self.device_normalize = (ds.mean, ds.std)
+                # One upload; replicated on a mesh. The arrays are then
+                # passed BY REFERENCE into every step (never as jit
+                # constants — see make_train_step).
+                if mesh is not None:
+                    from .parallel import replicate
+
+                    place = lambda a: jax.device_put(a, replicate(mesh))
+                else:
+                    place = jax.device_put
+                self._cached_train = (
+                    place(images), place(labels.astype(np.int32))
+                )
+                self._cached_n = len(labels)
         self.train_step = self._make_step(jt)
         self.eval_step = make_eval_step(
             module, normalize=self.device_normalize_eval
@@ -467,7 +618,30 @@ class Trainer:
         self._criterion_state = cs
         self._criterion_jt = getattr(cs, "jt", None)
 
-    def _make_step(self, jt):
+    def _make_step(self, jt, steps_per_call: int = 1):
+        if self._cached_train is not None:
+            steps = self._cached_n // self.config.batch_size
+            K = max(1, min(self.config.cache_steps_per_call, steps))
+            self._cached_K = K
+            rest = steps % K
+            build = lambda k: make_train_step(
+                self.module, self.optimizer, self.config.loss, jt,
+                tsw=self.config.tree_supervision_weight,
+                remat=self.config.remat,
+                criterion_fn=self.criterion_fn, pre_start=self._pre_start,
+                opt_sharding=self._opt_sharding,
+                param_sharding=self._param_sharding,
+                normalize=self.device_normalize,
+                cached=True, batch_size=self.config.batch_size,
+                crop_pad=self.config.cache_crop_pad,
+                flip=self.config.cache_flip,
+                batch_sharding=self._batch_sharding,
+                steps_per_call=k,
+            )
+            # leftover steps (epoch length not divisible by K) get their
+            # own smaller scan — one extra compile, not a dropped tail
+            self._train_step_rest = build(rest) if rest else None
+            return build(K)
         return make_train_step(
             self.module, self.optimizer, self.config.loss, jt,
             tsw=self.config.tree_supervision_weight, remat=self.config.remat,
@@ -476,6 +650,28 @@ class Trainer:
             param_sharding=self._param_sharding,
             normalize=self.device_normalize,
         )
+
+    @staticmethod
+    def _materialize_uint8(trainloader):
+        """Full (images uint8 [N,H,W,C], labels) arrays for device caching.
+
+        The DataLoader's flat-array fast path exposes the store directly
+        (honoring a label-subset wrapper's index remap); otherwise the
+        dataset streams once through ``dataset[i]``."""
+        if getattr(trainloader, "images", None) is not None:
+            images = trainloader.images
+            labels = trainloader.labels
+            index = getattr(trainloader, "_index", None)
+            if index is not None:
+                images, labels = images[index], labels[index]
+            return np.ascontiguousarray(images), np.asarray(labels)
+        ds = trainloader.dataset
+        samples = [ds[i] for i in range(len(ds))]
+        images = np.stack([s[0] for s in samples])
+        assert images.dtype == np.uint8, (
+            f"cache_dataset needs raw uint8 samples, got {images.dtype}"
+        )
+        return images, np.asarray([s[1] for s in samples])
 
     def _put(self, a):
         """Host batch -> device array, sharded over dp when a mesh is set.
@@ -541,6 +737,8 @@ class Trainer:
                 self._criterion_jt = new_jt
                 self.jt = new_jt
                 self.train_step = self._make_step(new_jt)
+        if self._cached_train is not None:
+            return self._train_epoch_cached(epoch, tw, xw)
         t0 = time.time()
         last = {}
         n_batches = len(self.trainloader)
@@ -580,6 +778,54 @@ class Trainer:
                 )
         if self.analyzer is not None:
             self.analyzer.end_train(epoch)
+        last = {k: float(v) for k, v in last.items()}  # one sync per epoch
+        last["time"] = time.time() - t0
+        return last
+
+    def _train_epoch_cached(self, epoch: int, tw: float, xw: float) -> dict:
+        """Device-resident epoch: the uint8 store is a jit constant; only a
+        permutation, a step index, an rng key, and the weights cross the
+        host->device boundary. Sync-free like the host loop (metrics
+        convert once at the end); the permutation is generated on device.
+        """
+        import jax.random as jrandom
+
+        t0 = time.time()
+        B = self.config.batch_size
+        steps = self._cached_n // B
+        assert steps > 0, (
+            f"cache_dataset: batch {B} exceeds dataset size {self._cached_n}"
+        )
+        key = jrandom.fold_in(jrandom.PRNGKey(self.config.seed), epoch)
+        kperm, kaug = jrandom.split(key)
+        perm = jrandom.permutation(kperm, self._cached_n).astype(jnp.int32)
+        last = {}
+        images, labels = self._cached_train
+        K = self._cached_K
+        n_calls = steps // K
+        tw, xw = jnp.float32(tw), jnp.float32(xw)
+        for c in range(n_calls):
+            self.params, self.batch_stats, self.opt_state, m = self.train_step(
+                self.params, self.batch_stats, self.opt_state,
+                images, labels, perm, c * K, kaug, tw, xw,
+            )
+            last = dict(m)
+            if self.show_progress:
+                from .utils import progress_bar
+
+                progress_bar(
+                    c, n_calls,
+                    f"Loss: {float(last['loss']):.3f} | "
+                    f"Acc: {float(last['acc']) * 100:.2f}%",
+                )
+        if self._train_step_rest is not None:
+            self.params, self.batch_stats, self.opt_state, m = (
+                self._train_step_rest(
+                    self.params, self.batch_stats, self.opt_state,
+                    images, labels, perm, n_calls * K, kaug, tw, xw,
+                )
+            )
+            last = dict(m)
         last = {k: float(v) for k, v in last.items()}  # one sync per epoch
         last["time"] = time.time() - t0
         return last

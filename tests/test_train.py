@@ -523,3 +523,158 @@ def test_eval_fast_paths_match_host_loop(tiny_setup, synthetic_tree, tmp_path):
                      superclass_wnids=[synthetic_tree.wnids_leaves[0]],
                      mapping={synthetic_tree.wnids_leaves[0]: 0})
     assert sup.device_eval() is None
+
+
+def test_cached_step_matches_host_step(tiny_setup, synthetic_tree):
+    """Device-resident mode, augmentation disabled: the cached step's loss
+    on the identity permutation equals the host-path step's loss on the
+    same raw uint8 batch (same normalize prologue, same core)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbdt_tpu.data import SyntheticDataset
+    from nbdt_tpu.rules import to_device_tree
+    from nbdt_tpu.trainer import TrainConfig, make_optimizer, make_train_step
+
+    module, variables, tl, vl = tiny_setup
+    ds = SyntheticDataset(num_classes=7, size=32, image_size=16)
+    images = np.stack([ds[i][0] for i in range(len(ds))])
+    labels = np.asarray([ds[i][1] for i in range(len(ds))])
+    assert images.dtype == np.uint8
+    jt = to_device_tree(synthetic_tree.arrays)
+    cfg = TrainConfig(batch_size=8, epochs=1, lr=0.01)
+    norm = (ds.mean, ds.std)
+
+    def fresh():
+        opt = make_optimizer(cfg, 1)
+        p = jax.tree_util.tree_map(lambda a: a.copy(), variables["params"])
+        s = jax.tree_util.tree_map(
+            lambda a: a.copy(), variables["batch_stats"]
+        )
+        return opt, p, s
+
+    opt, p1, s1 = fresh()
+    host_step = make_train_step(module, opt, "SoftTreeSupLoss", jt,
+                                normalize=norm)
+    _, _, _, m_host = host_step(
+        p1, s1, opt.init(p1), images[:8], labels[:8].astype(np.int32),
+        jnp.float32(1.0), jnp.float32(1.0),
+    )
+
+    opt, p2, s2 = fresh()
+    cached_step = make_train_step(
+        module, opt, "SoftTreeSupLoss", jt, normalize=norm,
+        cached=True, batch_size=8, crop_pad=0, flip=False,
+    )
+    perm = jnp.arange(len(labels), dtype=jnp.int32)
+    _, _, _, m_cached = cached_step(
+        p2, s2, opt.init(p2), jnp.asarray(images),
+        jnp.asarray(labels.astype(np.int32)), perm, 0,
+        jax.random.PRNGKey(0), jnp.float32(1.0), jnp.float32(1.0),
+    )
+    assert float(m_cached["loss"]) == pytest.approx(
+        float(m_host["loss"]), rel=1e-6
+    )
+
+
+def test_device_augment_semantics():
+    """In-jit augment: shapes/dtype preserved, crops stay within the padded
+    field, flips are exact reverses, identity when disabled."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbdt_tpu.trainer import _device_augment
+
+    x = np.random.RandomState(0).randint(0, 256, (16, 16, 16, 3), np.uint8)
+    key = jax.random.PRNGKey(3)
+    out = jax.jit(
+        lambda a, k: _device_augment(a, k, crop_pad=4, flip=True)
+    )(jnp.asarray(x), key)
+    assert out.shape == x.shape and out.dtype == np.uint8
+
+    ident = _device_augment(jnp.asarray(x), key, crop_pad=0, flip=False)
+    np.testing.assert_array_equal(np.asarray(ident), x)
+
+    # flip-only: every image is either itself or its exact mirror
+    flipped = np.asarray(
+        _device_augment(jnp.asarray(x), key, crop_pad=0, flip=True)
+    )
+    for i in range(len(x)):
+        same = np.array_equal(flipped[i], x[i])
+        mirror = np.array_equal(flipped[i], x[i][:, ::-1])
+        assert same or mirror, i
+
+
+def test_trainer_cache_dataset_learns(synthetic_tree, tmp_path):
+    """Trainer(cache_dataset=True): the device-resident epoch loop trains
+    (loss decreases) and evaluate() still runs off the host testloader."""
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    ds = SyntheticDataset(num_classes=7, size=64, image_size=16)
+    tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train())
+    vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
+                    pad_last=True)
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=4, loss="SoftTreeSupLoss", lr=0.05,
+                      checkpoint_dir=str(tmp_path), cache_dataset=True,
+                      cache_crop_pad=0, cache_flip=False)
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    assert tr._cached_train is not None
+    first = tr.train_epoch(0)
+    for e in range(1, 4):
+        last = tr.train_epoch(e)
+    assert np.isfinite(last["loss"])
+    assert last["loss"] < first["loss"]
+    acc = tr.evaluate(0, checkpoint=False)
+    assert 0 <= acc <= 100
+
+
+def test_trainer_cache_dataset_on_mesh(synthetic_tree, tmp_path):
+    """cache_dataset composes with a dp mesh: the gathered batch is pinned
+    to the dp sharding inside the step and one epoch runs."""
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.parallel import make_mesh
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    ds = SyntheticDataset(num_classes=7, size=32, image_size=16)
+    tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train())
+    vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
+                    pad_last=True)
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=1, loss="SoftTreeSupLoss", lr=0.01,
+                      checkpoint_dir=str(tmp_path), cache_dataset=True)
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree,
+                 mesh=make_mesh(n_devices=8, tp=1))
+    stats = tr.train_epoch(0)
+    assert np.isfinite(stats["loss"])
+
+
+def test_cached_multi_step_equals_single_step(synthetic_tree, tmp_path):
+    """K steps per dispatch (lax.scan) computes the same trajectory as K
+    separate dispatches — same batches, same RNG folds, same carry order;
+    only XLA fusion-level float rounding may differ."""
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    ds = SyntheticDataset(num_classes=7, size=48, image_size=16)
+    tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train())
+    vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
+                    pad_last=True)
+
+    def run(k):
+        cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                          epochs=2, loss="SoftTreeSupLoss", lr=0.05,
+                          checkpoint_dir=str(tmp_path), cache_dataset=True,
+                          cache_steps_per_call=k)
+        tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+        # 48/8 = 6 steps; k=4 exercises the scan (1 call) + leftover (2)
+        return [tr.train_epoch(e)["loss"] for e in range(2)]
+
+    np.testing.assert_allclose(run(1), run(4), rtol=1e-4)
