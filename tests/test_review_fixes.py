@@ -143,14 +143,29 @@ def test_soft_tree_loss_requires_params_fn(synthetic_tree):
         crit.set_epoch(2, 10)  # offset 0 -> regeneration due
 
 
-def test_soft_seg_loss_rejects_custom_criterion(synthetic_tree):
-    """SoftSegTreeSupLoss hardcodes masked CE for both terms; a custom
-    criterion must be rejected loudly, not silently dropped."""
+def test_soft_seg_loss_routes_custom_criterion(synthetic_tree):
+    """SoftSegTreeSupLoss applies a custom criterion to BOTH terms — the
+    raw maps and the per-pixel bayesian maps — with the tsw weighting
+    (reference loss.py:318-327; round 2 rejected custom criteria, round 3
+    routes them; numerical parity vs the reference's own class is pinned
+    in test_reference_parity.py)."""
+    import jax.numpy as jnp
+
     from nbdt_tpu.losses import SoftSegTreeSupLoss
 
-    with pytest.raises(AssertionError, match="cross-entropy"):
-        SoftSegTreeSupLoss(tree=synthetic_tree,
-                           criterion=lambda a, b: 0.0)
+    calls = []
+
+    def crit(maps, targets):
+        calls.append(tuple(maps.shape))
+        return jnp.float32(1.0)
+
+    loss = SoftSegTreeSupLoss(tree=synthetic_tree, criterion=crit,
+                              tree_supervision_weight=3.0)
+    maps = np.random.RandomState(0).randn(2, 4, 4, 7).astype(np.float32)
+    labels = np.random.RandomState(1).randint(0, 7, (2, 4, 4))
+    total = float(loss(maps, labels.astype(np.int32)))
+    assert total == pytest.approx(1.0 + 3.0 * 1.0)
+    assert calls == [(2, 4, 4, 7), (2, 4, 4, 7)]  # raw + bayesian maps
 
 
 def test_analyzer_sees_training_batches(tiny_trainer):
