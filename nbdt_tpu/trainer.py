@@ -411,6 +411,51 @@ def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays]
     return cached_multi_step
 
 
+def make_cached_eval_count_step(module, k: int, batch_size: int,
+                                n_batches: int, normalize=None,
+                                analyzer_fwd=None, analyzer_k: int = 1):
+    """Whole-eval-in-one-dispatch: scan over the device-resident test store
+    counting top-k hits (and optionally an analyzer's) — the cached-mode
+    companion of make_eval_count_step. The store arrives pre-padded to
+    ``n_batches * batch_size`` with a validity mask."""
+    prologue = _normalize_prologue(normalize)
+
+    @jax.jit
+    def step(params, batch_stats, images, labels, valid):
+        def body(carry, i):
+            x = jax.lax.dynamic_slice_in_dim(images, i * batch_size,
+                                             batch_size)
+            y = jax.lax.dynamic_slice_in_dim(labels, i * batch_size,
+                                             batch_size)
+            v = jax.lax.dynamic_slice_in_dim(valid, i * batch_size,
+                                             batch_size)
+            logits = module.apply(
+                {"params": params, "batch_stats": batch_stats},
+                prologue(x), train=False,
+            )
+
+            def topk_hits(scores, kk):
+                kk = min(kk, scores.shape[-1])
+                _, topk = jax.lax.top_k(scores, kk)
+                return ((topk == y[:, None]).any(-1) & v).sum()
+
+            hits, ahits, total = carry
+            hits = hits + topk_hits(logits, k)
+            if analyzer_fwd is not None:
+                ahits = ahits + topk_hits(
+                    analyzer_fwd(logits.astype(jnp.float32)), analyzer_k
+                )
+            return (hits, ahits, total + v.sum()), None
+
+        zero = jnp.int32(0)
+        (hits, ahits, total), _ = jax.lax.scan(
+            body, (zero, zero, zero), jnp.arange(n_batches)
+        )
+        return hits, ahits, total
+
+    return step
+
+
 def make_eval_step(module, normalize=None):
     prologue = _normalize_prologue(normalize)
 
@@ -570,6 +615,7 @@ class Trainer:
             config.loss == "SoftTreeLoss" and config.tree_start_epochs > 0
         )
         self._cached_train = None
+        self._cached_test = None
         self._cached_n = 0
         if config.cache_dataset:
             if analyzer is not None:
@@ -585,6 +631,8 @@ class Trainer:
                 if self.device_normalize is None:
                     ds = trainloader.dataset
                     self.device_normalize = (ds.mean, ds.std)
+                if self.device_normalize_eval is None:
+                    self.device_normalize_eval = self.device_normalize
                 # One upload; replicated on a mesh. The arrays are then
                 # passed BY REFERENCE into every step (never as jit
                 # constants — see make_train_step).
@@ -598,6 +646,23 @@ class Trainer:
                     place(images), place(labels.astype(np.int32))
                 )
                 self._cached_n = len(labels)
+                # Test store too: evaluate() then runs as ONE dispatch
+                # (scan over resident batches), padded to a whole number
+                # of batches with a validity mask.
+                ti, tl_ = self._materialize_uint8(testloader)
+                B = config.batch_size
+                nb = (len(tl_) + B - 1) // B
+                pad = nb * B - len(tl_)
+                tv = np.ones(len(tl_), bool)
+                if pad:
+                    ti = np.concatenate(
+                        [ti, np.zeros((pad,) + ti.shape[1:], np.uint8)]
+                    )
+                    tl_ = np.concatenate([tl_, np.zeros(pad, tl_.dtype)])
+                    tv = np.concatenate([tv, np.zeros(pad, bool)])
+                self._cached_test = (
+                    place(ti), place(tl_.astype(np.int32)), place(tv), nb
+                )
         self.train_step = self._make_step(jt)
         self.eval_step = make_eval_step(
             module, normalize=self.device_normalize_eval
@@ -884,6 +949,30 @@ class Trainer:
                 )
             if self.analyzer is not None:
                 self.analyzer.start_test(epoch)
+            if self._cached_test is not None:
+                # One dispatch for the whole eval over the resident store.
+                imgs, lbls, valid, nb = self._cached_test
+                ckey = (metric.k,
+                        analyzer_dev[0] if analyzer_dev else None, nb)
+                if getattr(self, "_ccount_key", None) != ckey:
+                    self._ccount_key = ckey
+                    self._ccount_step = make_cached_eval_count_step(
+                        self.module, metric.k, self.config.batch_size, nb,
+                        normalize=self.device_normalize_eval,
+                        analyzer_fwd=analyzer_dev[0] if analyzer_dev
+                        else None,
+                        analyzer_k=analyzer_dev[1] if analyzer_dev else 1,
+                    )
+                h, a, t = self._ccount_step(
+                    self.params, self.batch_stats, imgs, lbls, valid
+                )
+                metric.correct, metric.total = int(h), int(t)
+                if self.analyzer is not None:
+                    if analyzer_dev is not None:
+                        self.analyzer.metric.correct = int(a)
+                        self.analyzer.metric.total = metric.total
+                    self.analyzer.end_test(epoch)
+                return self._finish_eval(metric, epoch, checkpoint)
             hits = ahits = total = None
             for x, y, valid in self.testloader:
                 res = self._count_step(

@@ -678,3 +678,32 @@ def test_cached_multi_step_equals_single_step(synthetic_tree, tmp_path):
         return [tr.train_epoch(e)["loss"] for e in range(2)]
 
     np.testing.assert_allclose(run(1), run(4), rtol=1e-4)
+
+
+def test_cached_eval_matches_host_eval(synthetic_tree, tmp_path):
+    """cache_dataset's one-dispatch eval (scan over the resident padded
+    test store) returns exactly the host loader loop's accuracy, incl. the
+    partial-batch validity mask."""
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    ds = SyntheticDataset(num_classes=7, size=32, image_size=16)
+    ds_test = SyntheticDataset(num_classes=7, size=21, image_size=16)  # 21 % 8 != 0
+    tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train())
+    vl = DataLoader(ds_test, 8, transform=ds_test.transform_val(),
+                    drop_last=False, pad_last=True)
+
+    def build(cache):
+        cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                          epochs=1, loss="SoftTreeSupLoss",
+                          checkpoint_dir=str(tmp_path), cache_dataset=cache)
+        return Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+
+    cached = build(True)
+    host = build(False)
+    assert cached._cached_test is not None
+    acc_c = cached.evaluate(0, checkpoint=False)
+    acc_h = host.evaluate(0, checkpoint=False)
+    assert acc_c == pytest.approx(acc_h, abs=1e-9)

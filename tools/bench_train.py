@@ -110,6 +110,15 @@ def main():
     results["cached"] = epochs(
         tr_c, f"bf16 device-cached (K={args.steps_per_call})")
     if args.cached_only:
+        times = []
+        for _ in range(3):
+            t = time.time()
+            tr_c.evaluate(0, checkpoint=False)
+            times.append(time.time() - t)
+        best = min(times[1:])
+        results["eval_cached"] = len(ds_test) / best
+        log(f"eval one-dispatch (cached store): "
+            f"{results['eval_cached']:,.0f} imgs/s (epoch {best:.3f}s)")
         import json
 
         print(json.dumps({k: round(v, 1) for k, v in results.items()}))
