@@ -5,6 +5,7 @@ from .cifar import (
     CIFAR100,
     CIFAR10_CLASSES,
     ArrayDataset,
+    LearnableSyntheticDataset,
     SyntheticDataset,
 )
 from .custom import (

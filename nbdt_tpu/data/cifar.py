@@ -143,6 +143,40 @@ class CIFAR100(ArrayDataset):
         )
 
 
+class LearnableSyntheticDataset(ArrayDataset):
+    """Separable synthetic classes: per-class fixed random template blended
+    with per-sample noise. Unlike :class:`SyntheticDataset` (pure noise,
+    learnable only by memorization) this poses a real generalization task —
+    ``train=False`` draws fresh samples from the same class templates, so a
+    model that learns the classes scores high on held-out data. The offline
+    stand-in for accuracy-bearing runs (no dataset downloads here)."""
+
+    def __init__(
+        self,
+        num_classes: int = 10,
+        size: int = 512,
+        image_size: int = 32,
+        seed: int = 0,
+        noise: float = 0.35,
+        train: bool = True,
+        classes: Optional[List[str]] = None,
+    ):
+        trng = np.random.RandomState(seed)  # templates: shared train/test
+        templates = trng.randint(
+            0, 256, (num_classes, image_size, image_size, 3)
+        ).astype(np.float32)
+        srng = np.random.RandomState(seed + (1 if train else 2))
+        labels = srng.randint(0, num_classes, size)
+        noise_imgs = srng.randint(
+            0, 256, (size, image_size, image_size, 3)
+        ).astype(np.float32)
+        images = (
+            (1.0 - noise) * templates[labels] + noise * noise_imgs
+        ).astype(np.uint8)
+        classes = classes or [f"class{i}" for i in range(num_classes)]
+        super().__init__(images, labels, classes)
+
+
 class SyntheticDataset(ArrayDataset):
     """Random uint8 images with deterministic labels — shape-compatible
     stand-in when no real data is on disk (tests, offline benchmarks)."""

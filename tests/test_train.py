@@ -707,3 +707,62 @@ def test_cached_eval_matches_host_eval(synthetic_tree, tmp_path):
     acc_c = cached.evaluate(0, checkpoint=False)
     acc_h = host.evaluate(0, checkpoint=False)
     assert acc_c == pytest.approx(acc_h, abs=1e-9)
+
+
+def test_generalization_on_learnable_synthetic(synthetic_tree, tmp_path):
+    """The full pipeline GENERALIZES (offline stand-in for the blocked
+    accuracy reproduction): train ResNet10 + SoftTreeSupLoss in cached
+    mode on separable synthetic classes, then score held-out samples drawn
+    fresh from the same class templates — backbone top-1 high, and the
+    NBDT soft rules over the trained logits close behind."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.data import DataLoader, LearnableSyntheticDataset
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.rules import soft_forward, to_device_tree
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    ds = LearnableSyntheticDataset(num_classes=7, size=256, image_size=16,
+                                   train=True)
+    ds_test = LearnableSyntheticDataset(num_classes=7, size=96,
+                                        image_size=16, train=False)
+    tl = DataLoader(ds, 32, shuffle=True, transform=ds.transform_train())
+    vl = DataLoader(ds_test, 32, transform=ds_test.transform_val(),
+                    drop_last=False, pad_last=True)
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=32,
+                      epochs=5, loss="SoftTreeSupLoss", lr=0.05,
+                      tree_supervision_weight=10.0,
+                      checkpoint_dir=str(tmp_path), cache_dataset=True,
+                      cache_crop_pad=2)
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    for e in range(cfg.epochs):
+        tr.train_epoch(e)
+    acc = tr.evaluate(0, checkpoint=False)
+    assert acc >= 85.0, f"held-out accuracy {acc}%"
+
+    # NBDT soft-rules accuracy on held-out data, over the hierarchy
+    # INDUCED from the trained classifier (the reference's intended
+    # workflow: nbdt-hierarchy after training; a mismatched fixed tree
+    # costs several points, measured 76% vs 85%+ induced).
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+    from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
+    from nbdt_tpu.tree import Tree
+
+    wnids = synthetic_tree.wnids_leaves
+    centers = get_centers_from_flax_params(tr.params)
+    induced = Tree.from_graph(build_induced_graph(wnids, centers), wnids,
+                              classes=[f"c{i}" for i in range(7)])
+    jt = to_device_tree(induced.arrays)
+    correct = total = 0
+    for x, y, valid in vl:
+        logits = module.apply(
+            {"params": tr.params, "batch_stats": tr.batch_stats},
+            jnp.asarray(x), train=False,
+        )
+        nbdt = np.asarray(soft_forward(logits, jt))[valid]
+        y_np = np.asarray(y)[valid]
+        correct += int((nbdt.argmax(1) == y_np).sum())
+        total += int(np.asarray(valid).sum())
+    nbdt_acc = correct / total * 100
+    assert nbdt_acc >= 80.0, f"NBDT held-out accuracy {nbdt_acc}%"
