@@ -93,6 +93,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data-root", default="./data")
     parser.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                         help="force JAX backend (default: environment's)")
+    parser.add_argument(
+        "--mini-corpus", default=None,
+        help="vendored mini WordNet: a corpus table JSON or a shipped "
+             "wordnet hierarchy JSON (chains derived from it) — lets "
+             "--method wordnet and hypernym naming run offline, where the "
+             "NLTK corpus cannot be downloaded")
     return parser
 
 
@@ -107,6 +113,11 @@ def main(argv=None):
     from ..assets import get_dataset_wnids
     from ..hierarchy.generate import generate_hierarchy, test_hierarchy
     from ..hierarchy.vis import generate_hierarchy_vis
+
+    if args.mini_corpus:
+        from ..hierarchy.wnid import install_mini_corpus
+
+        install_mini_corpus(args.mini_corpus)
 
     wnids = get_dataset_wnids(args.dataset)
 

@@ -35,6 +35,9 @@ def install_mini_corpus(table) -> None:
 
         with open(table) as f:
             table = json.load(f)
+    if isinstance(table, dict) and "nodes" in table and "links" in table:
+        # a shipped wordnet hierarchy JSON: derive the chains from it
+        table = _mini_corpus_from_node_link(table)
     _MINI_CORPUS = dict(table)
 
 
@@ -57,7 +60,10 @@ def mini_corpus_from_graph_json(path) -> dict:
 
     with open(str(path)) as f:
         data = json.load(f)
+    return _mini_corpus_from_node_link(data)
 
+
+def _mini_corpus_from_node_link(data: dict) -> dict:
     table: dict = {}
 
     def ensure(wnid, name):

@@ -46,6 +46,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--disable-test-eval", action="store_true")
     parser.add_argument("--checkpoint-dir", default="./checkpoint")
     parser.add_argument(
+        "--mini-corpus", default=None,
+        help="vendored mini WordNet (corpus table JSON or a shipped "
+             "wordnet hierarchy JSON) — runs Superclass hypernym mapping "
+             "and wordnet flows offline")
+    parser.add_argument(
         "--cache-dataset", action="store_true",
         help="upload the full uint8 train set to device HBM once and "
              "gather+augment+normalize inside the jitted step (removes the "
@@ -197,6 +202,10 @@ def main(argv=None):
 
     maybe_set_platform(args.platform)
     enable_compilation_cache()
+    if args.mini_corpus:
+        from .hierarchy.wnid import install_mini_corpus
+
+        install_mini_corpus(args.mini_corpus)
     if args.multihost:
         from .parallel import initialize_multihost
 

@@ -473,3 +473,31 @@ def test_vis_interactive_handlers_wired(tmp_path):
     # every node g carries its wnid as the element id (click target +
     # reference getElementById contract)
     assert "g.setAttribute('id', n.id)" in html
+
+
+def test_hierarchy_cli_wordnet_with_mini_corpus(tmp_path):
+    """`nbdt-hierarchy --method wordnet --mini-corpus <shipped graph>` runs
+    the real wordnet builder offline and reproduces the shipped graph."""
+    import json
+
+    from nbdt_tpu.bin.nbdt_hierarchy import main
+    from nbdt_tpu.hierarchy.wnid import clear_mini_corpus
+
+    shipped_path = "nbdt_tpu/hierarchies/CIFAR10/graph-wordnet.json"
+    try:
+        main([
+            "--dataset", "CIFAR10", "--method", "wordnet",
+            "--mini-corpus", shipped_path,
+            "--hierarchies-root", str(tmp_path), "--no-vis",
+            "--platform", "cpu",
+        ])
+    finally:
+        clear_mini_corpus()
+    out = json.load(open(tmp_path / "CIFAR10" / "graph-wordnet.json"))
+    shipped = json.load(open(shipped_path))
+    na = {n["id"]: n.get("label") for n in out["nodes"]}
+    nb = {n["id"]: n.get("label") for n in shipped["nodes"]}
+    assert na == nb
+    assert {(l["source"], l["target"]) for l in out["links"]} == {
+        (l["source"], l["target"]) for l in shipped["links"]
+    }
