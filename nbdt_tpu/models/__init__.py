@@ -25,7 +25,13 @@ from .efficientnet import (
     efficientnet_b7,
     efficientnet_b7b,
 )
-from .densenet import DenseNet, densenet121, densenet169
+from .densenet import (
+    DenseNet,
+    densenet121,
+    densenet161,
+    densenet169,
+    densenet201,
+)
 from .mobilenet import MobileNetV2, mobilenet_v2
 from .resnet import (
     ResNet,
@@ -40,10 +46,14 @@ from .resnet import (
     resnet50,
     resnet101,
     resnet152,
+    resnext50_32x4d,
+    resnext101_32x8d,
+    wide_resnet50_2,
+    wide_resnet101_2,
 )
 from .shufflenet import ShuffleNetV2, shufflenet_v2_x0_5, shufflenet_v2_x1_0
 from .squeezenet import SqueezeNet, squeezenet1_0, squeezenet1_1
-from .vgg import VGG, vgg11_bn, vgg16_bn
+from .vgg import VGG, vgg11_bn, vgg13_bn, vgg16_bn, vgg19_bn
 from .vit import ViT, vit_b16, vit_s16
 from .wideresnet import WRN, wrn28_10, wrn28_10_cifar10, wrn28_10_cifar100
 
@@ -61,6 +71,10 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "resnet50": resnet50,
     "resnet101": resnet101,
     "resnet152": resnet152,
+    "resnext50_32x4d": resnext50_32x4d,
+    "resnext101_32x8d": resnext101_32x8d,
+    "wide_resnet50_2": wide_resnet50_2,
+    "wide_resnet101_2": wide_resnet101_2,
     "wrn28_10": wrn28_10,
     "wrn28_10_cifar10": wrn28_10_cifar10,
     "wrn28_10_cifar100": wrn28_10_cifar100,
@@ -77,9 +91,13 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "vit_s16": vit_s16,
     "mobilenet_v2": mobilenet_v2,
     "densenet121": densenet121,
+    "densenet161": densenet161,
     "densenet169": densenet169,
+    "densenet201": densenet201,
     "vgg11_bn": vgg11_bn,
+    "vgg13_bn": vgg13_bn,
     "vgg16_bn": vgg16_bn,
+    "vgg19_bn": vgg19_bn,
     "squeezenet1_0": squeezenet1_0,
     "squeezenet1_1": squeezenet1_1,
     "shufflenet_v2_x0_5": shufflenet_v2_x0_5,

@@ -15,11 +15,14 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ("DenseNet", "densenet121", "densenet169")
+__all__ = ("DenseNet", "densenet121", "densenet161", "densenet169",
+           "densenet201")
 
 _CONFIGS = {
     121: (6, 12, 24, 16),
+    161: (6, 12, 36, 24),
     169: (6, 12, 32, 32),
+    201: (6, 12, 48, 32),
 }
 
 
@@ -83,5 +86,15 @@ def densenet121(num_classes: int = 1000, dtype=jnp.float32) -> DenseNet:
     return DenseNet(depth=121, num_classes=num_classes, dtype=dtype)
 
 
+def densenet161(num_classes: int = 1000, dtype=jnp.float32) -> DenseNet:
+    # torchvision densenet161: growth 48, 96-channel stem (= 2 * growth).
+    return DenseNet(depth=161, growth_rate=48, num_classes=num_classes,
+                    dtype=dtype)
+
+
 def densenet169(num_classes: int = 1000, dtype=jnp.float32) -> DenseNet:
     return DenseNet(depth=169, num_classes=num_classes, dtype=dtype)
+
+
+def densenet201(num_classes: int = 1000, dtype=jnp.float32) -> DenseNet:
+    return DenseNet(depth=201, num_classes=num_classes, dtype=dtype)

@@ -89,11 +89,19 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 -> 1x1 with 4x expansion (reference resnet.py:77-112)."""
+    """1x1 -> 3x3 -> 1x1 with 4x expansion (reference resnet.py:77-112).
+
+    ``groups``/``base_width`` generalize to torchvision's ResNeXt and wide
+    ResNets (the reference reaches those archs through its torchvision
+    star-import, models/__init__.py:1-12): the bottleneck width is
+    ``planes * base_width/64 * groups`` and conv2 is a grouped conv
+    (``feature_group_count`` — XLA lowers this to a blocked MXU matmul)."""
 
     planes: int
     stride: int = 1
     expansion: int = 4
+    groups: int = 1
+    base_width: int = 64
     conv: ModuleDef = nn.Conv
     norm: ModuleDef = nn.BatchNorm
     dtype: Any = jnp.float32
@@ -101,15 +109,17 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out = self.conv(
-            self.planes, (1, 1), use_bias=self.folded, name="conv1",
+            width, (1, 1), use_bias=self.folded, name="conv1",
             dtype=self.dtype,
         )(x)
         if not self.folded:
             out = self.norm(name="bn1")(out)
         out = nn.relu(out)
         out = self.conv(
-            self.planes, (3, 3), strides=(self.stride, self.stride), padding=1,
+            width, (3, 3), strides=(self.stride, self.stride), padding=1,
+            feature_group_count=self.groups,
             use_bias=self.folded, name="conv2", dtype=self.dtype,
         )(out)
         if not self.folded:
@@ -146,6 +156,8 @@ class ResNet(nn.Module):
     num_blocks: Sequence[int]
     num_classes: int = 10
     expansion: int = 1
+    groups: int = 1
+    base_width: int = 64
     imagenet_stem: bool = False
     dtype: Any = jnp.float32
     folded: bool = False
@@ -182,6 +194,10 @@ class ResNet(nn.Module):
             zip((64, 128, 256, 512), self.num_blocks, (1, 2, 2, 2)), start=1
         ):
             strides = [stride] + [1] * (blocks - 1)
+            extra = (
+                {"groups": self.groups, "base_width": self.base_width}
+                if (self.groups, self.base_width) != (1, 64) else {}
+            )
             for i, s in enumerate(strides):
                 out = self.block(
                     planes=planes,
@@ -192,6 +208,7 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     folded=self.folded,
                     name=f"layer{stage}_{i}",
+                    **extra,
                 )(out)
             in_planes = planes * self.expansion
 
@@ -258,3 +275,26 @@ def resnet152(num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
     """torchvision resnet152 (named in reference README's zoo examples)."""
     return ResNet(Bottleneck, (3, 8, 36, 3), num_classes, expansion=4,
                   imagenet_stem=True, dtype=dtype)
+
+
+# torchvision ResNeXt / wide-ResNet variants (reached by the reference via
+# its torchvision star-import). Same key layout as torchvision resnets
+# (downsample.{0,1}, fc) so the converter handles them unchanged.
+def resnext50_32x4d(num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 4, 6, 3), num_classes, expansion=4,
+                  groups=32, base_width=4, imagenet_stem=True, dtype=dtype)
+
+
+def resnext101_32x8d(num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 4, 23, 3), num_classes, expansion=4,
+                  groups=32, base_width=8, imagenet_stem=True, dtype=dtype)
+
+
+def wide_resnet50_2(num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 4, 6, 3), num_classes, expansion=4,
+                  base_width=128, imagenet_stem=True, dtype=dtype)
+
+
+def wide_resnet101_2(num_classes: int = 1000, dtype=jnp.float32) -> ResNet:
+    return ResNet(Bottleneck, (3, 4, 23, 3), num_classes, expansion=4,
+                  base_width=128, imagenet_stem=True, dtype=dtype)

@@ -16,12 +16,16 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ("VGG", "vgg11_bn", "vgg16_bn")
+__all__ = ("VGG", "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn")
 
 _CONFIGS = {
     11: (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),
+    13: (64, 64, "M", 128, 128, "M", 256, 256, "M",
+         512, 512, "M", 512, 512, "M"),
     16: (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
          512, 512, 512, "M", 512, 512, 512, "M"),
+    19: (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+         512, 512, 512, 512, "M", 512, 512, 512, 512, "M"),
 }
 
 
@@ -55,5 +59,13 @@ def vgg11_bn(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
     return VGG(depth=11, num_classes=num_classes, dtype=dtype)
 
 
+def vgg13_bn(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
+    return VGG(depth=13, num_classes=num_classes, dtype=dtype)
+
+
 def vgg16_bn(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
     return VGG(depth=16, num_classes=num_classes, dtype=dtype)
+
+
+def vgg19_bn(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
+    return VGG(depth=19, num_classes=num_classes, dtype=dtype)

@@ -362,6 +362,133 @@ def _torch_shufflenet(num_classes=10):
     return TorchShuffleNet()
 
 
+def _torch_tv_resnet(layers, groups=1, width_per_group=64, num_classes=10):
+    """torchvision ImageNet-ResNet topology with torchvision key names
+    (transcribed from its resnet.py — Bottleneck with groups/base_width,
+    7x7/2 stem + maxpool, downsample shortcuts, `fc` head)."""
+    torch = _pytest.importorskip("torch")
+    import torch.nn as nn
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            width = int(planes * (width_per_group / 64.0)) * groups
+            self.conv1 = nn.Conv2d(inplanes, width, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(width)
+            self.conv2 = nn.Conv2d(width, width, 3, stride, 1,
+                                   groups=groups, bias=False)
+            self.bn2 = nn.BatchNorm2d(width)
+            self.conv3 = nn.Conv2d(width, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class TorchResNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            for i, (planes, blocks, stride) in enumerate(
+                zip((64, 128, 256, 512), layers, (1, 2, 2, 2)), start=1
+            ):
+                setattr(self, f"layer{i}", self._make_layer(planes, blocks,
+                                                            stride))
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Linear(512 * 4, num_classes)
+
+        def _make_layer(self, planes, blocks, stride):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * 4:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * 4, 1, stride,
+                              bias=False),
+                    nn.BatchNorm2d(planes * 4),
+                )
+            units = [Bottleneck(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * 4
+            units += [Bottleneck(self.inplanes, planes)
+                      for _ in range(blocks - 1)]
+            return nn.Sequential(*units)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.fc(torch.flatten(self.avgpool(x), 1))
+
+    return TorchResNet()
+
+
+@_pytest.mark.parametrize("arch,groups,base_width", [
+    ("resnext50_32x4d", 32, 4),
+    ("wide_resnet50_2", 1, 128),
+])
+def test_resnext_wide_torch_parity(arch, groups, base_width):
+    """ResNeXt / wide-ResNet: converted torchvision-style weights (grouped
+    bottleneck convs) produce the same logits in Flax."""
+    torch = _pytest.importorskip("torch")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nbdt_tpu.models import get_model
+    from nbdt_tpu.models.convert import torch_state_dict_to_flax
+
+    tmodel = _torch_tv_resnet((3, 4, 6, 3), groups=groups,
+                              width_per_group=base_width).eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = torch_state_dict_to_flax(sd, arch=arch)
+
+    module = get_model(arch, 10)
+    x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    ours = np.asarray(module.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
+
+
+@_pytest.mark.parametrize("arch,size,feat", [
+    ("resnext101_32x8d", 64, 2048),
+    ("wide_resnet101_2", 64, 2048),
+    ("densenet161", 32, 2208),
+    ("densenet201", 32, 1920),
+    ("vgg13_bn", 32, 512),
+    ("vgg19_bn", 32, 512),
+])
+def test_widened_zoo_forward(arch, size, feat):
+    """Round-3 zoo-breadth additions: logits + feature dims + induction
+    probe-able classifier heads."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model(arch, 10, (size, size, 3))
+    x = np.random.RandomState(0).randn(1, size, size, 3).astype(np.float32)
+    out = module.apply(variables, jnp.asarray(x), train=False)
+    assert out.shape == (1, 10)
+    centers = get_centers_from_flax_params(variables["params"])
+    assert centers is not None and centers.shape == (10, feat)
+
+
 @_pytest.mark.parametrize("arch,builder", [
     ("squeezenet1_0", lambda: _torch_squeezenet("1_0")),
     ("squeezenet1_1", lambda: _torch_squeezenet("1_1")),
