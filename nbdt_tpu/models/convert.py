@@ -169,6 +169,97 @@ def _shufflenet_key_to_path(key: str) -> Optional[Tuple[str, Tuple[str, ...], st
     return None
 
 
+def _densenet_key_to_path(key: str) -> Optional[Tuple[str, Tuple[str, ...], str]]:
+    """torchvision DenseNet keys (features.conv0/norm0, denseblock{b}.
+    denselayer{l}.{norm1,conv1,norm2,conv2}, transition{t}.{norm,conv},
+    norm5, classifier) -> Flax paths (models/densenet.py: stem/stem_bn,
+    block{b-1}_layer{l-1}/{bn1,conv1,bn2,conv2}, trans{t-1}_{bn,conv},
+    final_bn, classifier)."""
+    if key in ("classifier.weight", "classifier.bias"):
+        return ("params", ("classifier",), "linear-" + key.split(".")[1])
+    if key == "features.conv0.weight":
+        return ("params", ("stem",), "conv")
+    m = re.fullmatch(r"features\.norm0\.(\w+)", key)
+    if m and m.group(1) in _BN_PARTS:
+        coll, leaf = _BN_PARTS[m.group(1)]
+        return (coll, ("stem_bn",), "bn-" + leaf)
+    m = re.fullmatch(
+        r"features\.denseblock(\d+)\.denselayer(\d+)\.(conv[12])\.weight", key
+    )
+    if m:
+        block = f"block{int(m.group(1)) - 1}_layer{int(m.group(2)) - 1}"
+        return ("params", (block, m.group(3)), "conv")
+    m = re.fullmatch(
+        r"features\.denseblock(\d+)\.denselayer(\d+)\.(norm[12])\.(\w+)", key
+    )
+    if m and m.group(4) in _BN_PARTS:
+        coll, leaf = _BN_PARTS[m.group(4)]
+        block = f"block{int(m.group(1)) - 1}_layer{int(m.group(2)) - 1}"
+        return (coll, (block, "bn" + m.group(3)[-1]), "bn-" + leaf)
+    m = re.fullmatch(r"features\.transition(\d+)\.conv\.weight", key)
+    if m:
+        return ("params", (f"trans{int(m.group(1)) - 1}_conv",), "conv")
+    m = re.fullmatch(r"features\.transition(\d+)\.norm\.(\w+)", key)
+    if m and m.group(2) in _BN_PARTS:
+        coll, leaf = _BN_PARTS[m.group(2)]
+        return (coll, (f"trans{int(m.group(1)) - 1}_bn",), "bn-" + leaf)
+    m = re.fullmatch(r"features\.norm5\.(\w+)", key)
+    if m and m.group(1) in _BN_PARTS:
+        coll, leaf = _BN_PARTS[m.group(1)]
+        return (coll, ("final_bn",), "bn-" + leaf)
+    return None
+
+
+def _mobilenet_key_to_path(key: str) -> Optional[Tuple[str, Tuple[str, ...], str]]:
+    """torchvision MobileNetV2 keys -> Flax paths (models/mobilenet.py).
+
+    torch layout: features.0.{0,1} stem, features.{1..17}.conv.* inverted
+    residuals (block 1 has expand_ratio 1 so its conv Sequential is
+    [dw, dw_bn, project, project_bn]; the rest prepend [expand, expand_bn]),
+    features.18.{0,1} head, classifier.1 linear."""
+    if key in ("classifier.1.weight", "classifier.1.bias"):
+        return ("params", ("classifier",), "linear-" + key.split(".")[2])
+    m = re.fullmatch(r"features\.0\.0\.weight", key)
+    if m:
+        return ("params", ("stem",), "conv")
+    m = re.fullmatch(r"features\.0\.1\.(\w+)", key)
+    if m and m.group(1) in _BN_PARTS:
+        coll, leaf = _BN_PARTS[m.group(1)]
+        return (coll, ("stem_bn",), "bn-" + leaf)
+    m = re.fullmatch(r"features\.18\.0\.weight", key)
+    if m:
+        return ("params", ("head_conv",), "conv")
+    m = re.fullmatch(r"features\.18\.1\.(\w+)", key)
+    if m and m.group(1) in _BN_PARTS:
+        coll, leaf = _BN_PARTS[m.group(1)]
+        return (coll, ("head_bn",), "bn-" + leaf)
+    m = re.fullmatch(r"features\.(\d+)\.conv\.([\d.]+)\.(\w+)", key)
+    if m:
+        block = f"block{int(m.group(1)) - 1}"
+        # Sequential position -> (flax submodule, is_conv); torchvision's
+        # first inverted residual (expand_ratio=1) omits the expand pair.
+        t1 = int(m.group(1)) == 1
+        layout = (
+            {"0.0": ("depthwise", True), "0.1": ("depthwise_bn", False),
+             "1": ("project", True), "2": ("project_bn", False)}
+            if t1 else
+            {"0.0": ("expand", True), "0.1": ("expand_bn", False),
+             "1.0": ("depthwise", True), "1.1": ("depthwise_bn", False),
+             "2": ("project", True), "3": ("project_bn", False)}
+        )
+        sub = layout.get(m.group(2))
+        if sub is None:
+            return None
+        name, is_conv = sub
+        if is_conv:
+            return ("params", (block, name), "conv") \
+                if m.group(3) == "weight" else None
+        if m.group(3) in _BN_PARTS:
+            coll, leaf = _BN_PARTS[m.group(3)]
+            return (coll, (block, name), "bn-" + leaf)
+    return None
+
+
 _ARCH_MAPPERS = {
     "ResNet10": _resnet_key_to_path,
     "ResNet18": _resnet_key_to_path,
@@ -183,6 +274,11 @@ _ARCH_MAPPERS = {
     "squeezenet1_1": _squeezenet_key_to_path,
     "shufflenet_v2_x0_5": _shufflenet_key_to_path,
     "shufflenet_v2_x1_0": _shufflenet_key_to_path,
+    "densenet121": _densenet_key_to_path,
+    "densenet161": _densenet_key_to_path,
+    "densenet169": _densenet_key_to_path,
+    "densenet201": _densenet_key_to_path,
+    "mobilenet_v2": _mobilenet_key_to_path,
 }
 
 
@@ -515,6 +611,60 @@ def _enumerate_torch_keys(params, stats, arch):
                         keys.append(f"{base}.weight")
                     else:
                         keys += [f"{base}.{p}" for p in bn4]
+        return keys
+    if arch.startswith("densenet"):
+        for name in params:
+            if name == "stem":
+                keys.append("features.conv0.weight")
+            elif name == "stem_bn":
+                keys += [f"features.norm0.{p}" for p in bn4]
+            elif name == "final_bn":
+                keys += [f"features.norm5.{p}" for p in bn4]
+            elif name == "classifier":
+                keys += ["classifier.weight", "classifier.bias"]
+            elif name.startswith("block"):
+                b, l = name.replace("block", "").split("_layer")
+                base = f"features.denseblock{int(b) + 1}.denselayer{int(l) + 1}"
+                for sub in params[name]:
+                    if sub.startswith("conv"):
+                        keys.append(f"{base}.{sub}.weight")
+                for sub in ("norm1", "norm2"):
+                    keys += [f"{base}.{sub}.{p}" for p in bn4]
+            elif name.startswith("trans") and name.endswith("_conv"):
+                t = int(name[5:-5]) + 1
+                keys.append(f"features.transition{t}.conv.weight")
+            elif name.startswith("trans") and name.endswith("_bn"):
+                t = int(name[5:-3]) + 1
+                keys += [f"features.transition{t}.norm.{p}" for p in bn4]
+        return keys
+    if arch.startswith("mobilenet"):
+        for name in params:
+            if name == "stem":
+                keys.append("features.0.0.weight")
+            elif name == "stem_bn":
+                keys += [f"features.0.1.{p}" for p in bn4]
+            elif name == "head_conv":
+                keys.append("features.18.0.weight")
+            elif name == "head_bn":
+                keys += [f"features.18.1.{p}" for p in bn4]
+            elif name == "classifier":
+                keys += ["classifier.1.weight", "classifier.1.bias"]
+            elif name.startswith("block"):
+                t = int(name.replace("block", "")) + 1
+                base = f"features.{t}.conv"
+                has_expand = "expand" in params[name]
+                if has_expand:
+                    keys.append(f"{base}.0.0.weight")
+                    keys += [f"{base}.0.1.{p}" for p in bn4]
+                    keys.append(f"{base}.1.0.weight")
+                    keys += [f"{base}.1.1.{p}" for p in bn4]
+                    keys.append(f"{base}.2.weight")
+                    keys += [f"{base}.3.{p}" for p in bn4]
+                else:
+                    keys.append(f"{base}.0.0.weight")
+                    keys += [f"{base}.0.1.{p}" for p in bn4]
+                    keys.append(f"{base}.1.weight")
+                    keys += [f"{base}.2.{p}" for p in bn4]
         return keys
     if arch.startswith("wrn"):
         for name in params:

@@ -555,3 +555,163 @@ def test_new_zoo_centers_and_roundtrip():
                 np.asarray(variables["batch_stats"]["stage2_0"]["b1_1"]["var"]),
                 back["batch_stats"]["stage2_0"]["b1_1"]["var"],
             )
+
+
+def _torch_densenet(num_classes=10, growth=32, config=(6, 12, 24, 16)):
+    """torchvision DenseNet topology with torchvision key names (transcribed
+    from its densenet.py — features.conv0/norm0, denseblock{b}.denselayer{l},
+    transition{t}, norm5, classifier)."""
+    torch = _pytest.importorskip("torch")
+    import torch.nn as nn
+    from collections import OrderedDict
+
+    class DenseLayer(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.norm1 = nn.BatchNorm2d(cin)
+            self.conv1 = nn.Conv2d(cin, 4 * growth, 1, bias=False)
+            self.norm2 = nn.BatchNorm2d(4 * growth)
+            self.conv2 = nn.Conv2d(4 * growth, growth, 3, padding=1,
+                                   bias=False)
+            self.relu = nn.ReLU(inplace=True)
+
+        def forward(self, x):
+            out = self.conv1(self.relu(self.norm1(x)))
+            out = self.conv2(self.relu(self.norm2(out)))
+            return torch.cat([x, out], 1)
+
+    class TorchDenseNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(OrderedDict([
+                ("conv0", nn.Conv2d(3, 2 * growth, 7, 2, 3, bias=False)),
+                ("norm0", nn.BatchNorm2d(2 * growth)),
+                ("relu0", nn.ReLU(inplace=True)),
+                ("pool0", nn.MaxPool2d(3, 2, 1)),
+            ]))
+            c = 2 * growth
+            for b, layers in enumerate(config, 1):
+                block = nn.Sequential(OrderedDict(
+                    (f"denselayer{j + 1}", DenseLayer(c + j * growth))
+                    for j in range(layers)))
+                self.features.add_module(f"denseblock{b}", block)
+                c += layers * growth
+                if b != len(config):
+                    self.features.add_module(f"transition{b}", nn.Sequential(
+                        OrderedDict([
+                            ("norm", nn.BatchNorm2d(c)),
+                            ("relu", nn.ReLU(inplace=True)),
+                            ("conv", nn.Conv2d(c, c // 2, 1, bias=False)),
+                            ("pool", nn.AvgPool2d(2, 2)),
+                        ])))
+                    c //= 2
+            self.features.add_module("norm5", nn.BatchNorm2d(c))
+            self.classifier = nn.Linear(c, num_classes)
+
+        def forward(self, x):
+            out = torch.relu(self.features(x))
+            out = torch.flatten(
+                torch.nn.functional.adaptive_avg_pool2d(out, 1), 1)
+            return self.classifier(out)
+
+    return TorchDenseNet()
+
+
+def _torch_mobilenet_v2(num_classes=10):
+    """torchvision MobileNetV2 topology with torchvision key names
+    (transcribed from its mobilenetv2.py — features.0..18, inverted
+    residuals with .conv Sequentials, classifier.1)."""
+    _pytest.importorskip("torch")
+    import torch
+    import torch.nn as nn
+
+    def conv_bn_relu(cin, cout, k, stride=1, groups=1):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, k, stride, (k - 1) // 2, groups=groups,
+                      bias=False),
+            nn.BatchNorm2d(cout),
+            nn.ReLU6(inplace=True),
+        )
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, inp, oup, stride, t):
+            super().__init__()
+            hidden = inp * t
+            self.use_res = stride == 1 and inp == oup
+            layers = []
+            if t != 1:
+                layers.append(conv_bn_relu(inp, hidden, 1))
+            layers += [
+                conv_bn_relu(hidden, hidden, 3, stride, groups=hidden),
+                nn.Conv2d(hidden, oup, 1, bias=False),
+                nn.BatchNorm2d(oup),
+            ]
+            self.conv = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return x + self.conv(x) if self.use_res else self.conv(x)
+
+    class TorchMobileNetV2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            settings = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2),
+                        (6, 64, 4, 2), (6, 96, 3, 1), (6, 160, 3, 2),
+                        (6, 320, 1, 1)]
+            features = [conv_bn_relu(3, 32, 3, stride=2)]
+            cin = 32
+            for t, c, n, s in settings:
+                for i in range(n):
+                    features.append(
+                        InvertedResidual(cin, c, s if i == 0 else 1, t))
+                    cin = c
+            features.append(conv_bn_relu(cin, 1280, 1))
+            self.features = nn.Sequential(*features)
+            self.classifier = nn.Sequential(
+                nn.Dropout(0.2), nn.Linear(1280, num_classes))
+
+        def forward(self, x):
+            x = self.features(x)
+            return self.classifier(x.mean([2, 3]))
+
+    return TorchMobileNetV2()
+
+
+@_pytest.mark.parametrize("arch,builder", [
+    ("densenet121", _torch_densenet),
+    ("mobilenet_v2", _torch_mobilenet_v2),
+])
+def test_densenet_mobilenet_torch_parity(arch, builder):
+    """DenseNet/MobileNetV2 converter: torchvision-style weights produce the
+    same logits in Flax, and the flax->torch direction enumerates exactly
+    the torchvision key set (round-trip exact)."""
+    torch = _pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import get_model
+    from nbdt_tpu.models.convert import (
+        flax_to_torch_state_dict,
+        torch_state_dict_to_flax,
+    )
+
+    tmodel = builder().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = torch_state_dict_to_flax(sd, arch=arch)
+
+    module = get_model(arch, 10)
+    x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    ours = np.asarray(module.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
+
+    # flax -> torch enumerates exactly the torchvision key set, values exact
+    back = flax_to_torch_state_dict(variables, arch=arch)
+    expected = {k for k in sd if not k.endswith("num_batches_tracked")}
+    assert set(back) == expected
+    for k in expected:
+        np.testing.assert_array_equal(back[k], sd[k])
