@@ -182,6 +182,53 @@ const NS = 'http://www.w3.org/2000/svg';
 const BG = getComputedStyle(document.body).getPropertyValue('--bg').trim() || '#fff';
 
 const svg = document.getElementById('tree');
+
+// defs: gradient fills + the collapsed-node hatch (reference template
+// gradientGray/gradientBlue/gradientBlueGreen, :68-129, and diagonalHatch,
+// :191-197) — active when OPTS.gradient is set.
+const defs = document.createElementNS(NS, 'defs');
+function addGradient(id, c0, c1) {
+  const g = document.createElementNS(NS, 'linearGradient');
+  g.setAttribute('id', id);
+  g.setAttribute('x1', '0%'); g.setAttribute('y1', '0%');
+  g.setAttribute('x2', '100%'); g.setAttribute('y2', '100%');
+  for (const [off, color] of [['0%', c0], ['100%', c1]]) {
+    const s = document.createElementNS(NS, 'stop');
+    s.setAttribute('offset', off);
+    s.setAttribute('stop-color', color);
+    g.appendChild(s);
+  }
+  defs.appendChild(g);
+}
+addGradient('gradientGray', '#bfbfbf', '#737373');
+addGradient('gradientBlue', '#dfe9fb', '#5e9be7');
+addGradient('gradientBlueGreen', '#00c750', '#0450b4');
+const hatch = document.createElementNS(NS, 'pattern');
+hatch.setAttribute('id', 'diagonalHatch');
+hatch.setAttribute('patternUnits', 'userSpaceOnUse');
+hatch.setAttribute('width', '4'); hatch.setAttribute('height', '4');
+const hatchPath = document.createElementNS(NS, 'path');
+hatchPath.setAttribute('d', 'M-1,1 l2,-2 M0,4 l4,-4 M3,5 l2,-2');
+hatchPath.setAttribute('stroke', '#888');
+hatchPath.setAttribute('stroke-width', '1');
+hatch.appendChild(hatchPath);
+defs.appendChild(hatch);
+svg.appendChild(defs);
+
+// the reference maps node color -> gradient id (gradientFill, :138-145)
+function gradientFill(color) {
+  if (color === '#1f77b4') return 'url(#gradientBlue)';
+  if (color === '#2ca02c' || color === '#00c750')
+    return 'url(#gradientBlueGreen)';
+  return 'url(#gradientGray)';
+}
+
+if (OPTS.strokeWidth) {
+  const st = document.createElement('style');
+  st.textContent = `.link { stroke-width: ${OPTS.strokeWidth}px; }`;
+  document.head.appendChild(st);
+}
+
 const rootG = document.createElementNS(NS, 'g');
 svg.appendChild(rootG);
 
@@ -316,6 +363,22 @@ function linkPath(ax, ay, bx, by) {
   return `M${ax},${ay} C${mx},${ay} ${mx},${by} ${bx},${by}`;
 }
 
+// Text-background rects (reference nodeEnter.insert("rect", ...) filled
+// with CONFIG_TEXT_RECT_COLOR, :518-543) — measured after DOM insertion.
+function addTextRects(g) {
+  if (!OPTS.textRect) return;
+  for (const t of Array.from(g.querySelectorAll('text'))) {
+    const b = t.getBBox();
+    const r = document.createElementNS(NS, 'rect');
+    r.setAttribute('x', b.x);
+    r.setAttribute('y', b.y);
+    r.setAttribute('width', b.width);
+    r.setAttribute('height', b.height);
+    r.setAttribute('fill', OPTS.textRect);
+    g.insertBefore(r, t);
+  }
+}
+
 // Toggle children on click (reference template click()).
 function toggle(n) {
   if (n.children) {
@@ -343,6 +406,7 @@ function update() {
       n.y = (anc.y !== undefined ? anc.y : anc.ty);
       n.g = makeNode(n);
       rootG.appendChild(n.g);
+      addTextRects(n.g);
       if (n.parent) {
         n.link = document.createElementNS(NS, 'path');
         n.link.setAttribute('class', 'link');
@@ -353,9 +417,12 @@ function update() {
     if (shown) {
       n.g.style.display = '';
       if (n.link) n.link.style.display = '';
-      // collapsed indicator: filled circle (reference hatch fill)
+      // collapsed indicator: hatch fill in gradient mode (the reference's
+      // url(#diagonalHatch), :554), filled circle otherwise
       n.g.querySelector('circle').setAttribute(
-        'fill', n._children ? (n.color || '#1f77b4') : BG);
+        'fill', n._children
+          ? (OPTS.gradient ? 'url(#diagonalHatch)' : (n.color || '#1f77b4'))
+          : (OPTS.gradient ? gradientFill(n.color) : BG));
     } else {
       // exit: slide to the nearest visible ancestor, then hide
       const anc = nearestVisibleAncestor(n);
@@ -423,6 +490,10 @@ for (const id of (OPTS.collapse || [])) {
   const el = document.getElementById(id);
   if (el) el.dispatchEvent(new Event('click'));
 }
+
+// auto-print mode (reference d3_onload's CONFIG_PRINT: setTimeout(print,
+// 1000) after load-time collapsing, tree-template.html:707-709)
+if (OPTS.print) setTimeout(() => window.print(), 1000);
 </script>
 </body>
 </html>
@@ -452,6 +523,10 @@ def generate_vis(
     root_y: Optional[float] = None,
     colormap: Optional[str] = None,
     collapse: Sequence[str] = (),
+    _print: bool = False,
+    text_rect: Optional[str] = None,
+    stroke_width: Optional[float] = None,
+    gradient: bool = False,
 ) -> str:
     """Template substitution (reference hierarchy.py:344-411 mechanism).
 
@@ -462,7 +537,16 @@ def generate_vis(
     --vis-colormap, hierarchy.py:395-401); ``collapse`` lists wnids whose
     subtrees start collapsed — auto-clicked at load exactly like the
     reference's CONFIG_HIDE/d3_onload (the subtree stays expandable by
-    click, unlike ``hide`` which drops it from the data)."""
+    click, unlike ``hide`` which drops it from the data).
+
+    ``_print`` auto-opens the browser print dialog 1 s after load
+    (reference CONFIG_PRINT, hierarchy.py:356/377); ``text_rect`` draws a
+    background rect of that CSS color behind every label (reference
+    CONFIG_TEXT_RECT_COLOR, its default rgba(255,255,255,0.8));
+    ``stroke_width`` overrides the link stroke width (reference
+    CONFIG_STROKE_WIDTH); ``gradient`` fills node circles with the
+    reference's gray/blue/blue-green linear gradients and hatches
+    collapsed nodes (tree-template.html:68-145, 191-197, 554)."""
     bg, fg = _THEMES.get(theme, _THEMES["regular"])
     opts = {
         "zoom": zoom,
@@ -475,6 +559,10 @@ def generate_vis(
         "scale": scale,
         "rootY": None if root_y in (None, "null") else float(root_y),
         "collapse": list(collapse),
+        "print": bool(_print),
+        "textRect": text_rect,
+        "strokeWidth": stroke_width,
+        "gradient": bool(gradient),
     }
     colormap_html = ""
     if isinstance(colormap, str) and os.path.exists(colormap):

@@ -466,13 +466,44 @@ def test_vis_interactive_handlers_wired(tmp_path):
     assert "addEventListener('mousedown'" in html
     assert "addEventListener('mousemove'" in html
     # collapsed-state indicator (reference hatch fill on _children)
-    assert "n._children ?" in html
+    assert "'fill', n._children" in html
     # load-time auto-collapse by dispatched clicks, with the ids plumbed
     assert "dispatchEvent(new Event('click'))" in html
     assert '"collapse": ["n01471682"]' in html
     # every node g carries its wnid as the element id (click target +
     # reference getElementById contract)
     assert "g.setAttribute('id', n.id)" in html
+
+
+def test_vis_print_gradient_textrect(tmp_path):
+    """The remaining reference-template behaviors: CONFIG_PRINT auto-print
+    (tree-template.html:707-709), gradient node fills + diagonalHatch
+    collapsed indicator (:68-145, :191-197, :554), text-background rects
+    (CONFIG_TEXT_RECT_COLOR, :518-543), and CONFIG_STROKE_WIDTH."""
+    from nbdt_tpu.hierarchy.digraph import read_graph
+    from nbdt_tpu.hierarchy.vis import generate_hierarchy_vis_from
+
+    G = read_graph("nbdt_tpu/hierarchies/CIFAR10/graph-wordnet.json")
+    out = generate_hierarchy_vis_from(
+        G, dataset="CIFAR10", path_html=str(tmp_path / "t.html"),
+        _print=True, gradient=True, text_rect="rgba(255,255,255,0.8)",
+        stroke_width=0.45,
+    )
+    html = open(out).read()
+    assert '"print": true' in html and "window.print()" in html
+    assert '"gradient": true' in html
+    for gid in ("gradientGray", "gradientBlue", "gradientBlueGreen",
+                "diagonalHatch"):
+        assert gid in html
+    assert "url(#diagonalHatch)" in html  # collapsed hatch fill
+    assert '"textRect": "rgba(255,255,255,0.8)"' in html
+    assert "addTextRects" in html
+    assert '"strokeWidth": 0.45' in html and "OPTS.strokeWidth" in html
+    # defaults keep all of it off
+    out2 = generate_hierarchy_vis_from(
+        G, dataset="CIFAR10", path_html=str(tmp_path / "t2.html"))
+    html2 = open(out2).read()
+    assert '"print": false' in html2 and '"gradient": false' in html2
 
 
 def test_hierarchy_cli_wordnet_with_mini_corpus(tmp_path):
