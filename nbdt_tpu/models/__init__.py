@@ -13,6 +13,7 @@ from typing import Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from .alexnet import AlexNet, alexnet
 from .efficientnet import (
     EfficientNet,
     efficientnet_b0,
@@ -32,6 +33,9 @@ from .densenet import (
     densenet169,
     densenet201,
 )
+from .googlenet import GoogLeNet, googlenet
+from .inception import InceptionV3, inception_v3
+from .mnasnet import MNASNet, mnasnet0_5, mnasnet0_75, mnasnet1_0, mnasnet1_3
 from .mobilenet import MobileNetV2, mobilenet_v2
 from .resnet import (
     ResNet,
@@ -53,7 +57,17 @@ from .resnet import (
 )
 from .shufflenet import ShuffleNetV2, shufflenet_v2_x0_5, shufflenet_v2_x1_0
 from .squeezenet import SqueezeNet, squeezenet1_0, squeezenet1_1
-from .vgg import VGG, vgg11_bn, vgg13_bn, vgg16_bn, vgg19_bn
+from .vgg import (
+    VGG,
+    vgg11,
+    vgg13,
+    vgg16,
+    vgg19,
+    vgg11_bn,
+    vgg13_bn,
+    vgg16_bn,
+    vgg19_bn,
+)
 from .vit import ViT, vit_b16, vit_s16
 from .wideresnet import WRN, wrn28_10, wrn28_10_cifar10, wrn28_10_cifar100
 
@@ -94,10 +108,21 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "densenet161": densenet161,
     "densenet169": densenet169,
     "densenet201": densenet201,
+    "vgg11": vgg11,
+    "vgg13": vgg13,
+    "vgg16": vgg16,
+    "vgg19": vgg19,
     "vgg11_bn": vgg11_bn,
     "vgg13_bn": vgg13_bn,
     "vgg16_bn": vgg16_bn,
     "vgg19_bn": vgg19_bn,
+    "alexnet": alexnet,
+    "googlenet": googlenet,
+    "inception_v3": inception_v3,
+    "mnasnet0_5": mnasnet0_5,
+    "mnasnet0_75": mnasnet0_75,
+    "mnasnet1_0": mnasnet1_0,
+    "mnasnet1_3": mnasnet1_3,
     "squeezenet1_0": squeezenet1_0,
     "squeezenet1_1": squeezenet1_1,
     "shufflenet_v2_x0_5": shufflenet_v2_x0_5,

@@ -260,6 +260,81 @@ def _mobilenet_key_to_path(key: str) -> Optional[Tuple[str, Tuple[str, ...], str
     return None
 
 
+def _alexnet_key_to_path(key: str) -> Optional[Tuple[str, Tuple[str, ...], str]]:
+    """torchvision AlexNet keys (features.{i}, classifier.{1,4,6}) -> Flax
+    paths (models/alexnet.py: f{i}, fc1/fc2/classifier)."""
+    m = re.fullmatch(r"features\.(\d+)\.(weight|bias)", key)
+    if m:
+        return ("params", (f"f{m.group(1)}",),
+                "conv" if m.group(2) == "weight" else "bias")
+    m = re.fullmatch(r"classifier\.([146])\.(weight|bias)", key)
+    if m:
+        name = {"1": "fc1", "4": "fc2", "6": "classifier"}[m.group(1)]
+        return ("params", (name,), "linear-" + m.group(2))
+    return None
+
+
+# train-only auxiliary classifier heads (GoogLeNet aux1/aux2, Inception v3
+# AuxLogits) — never part of eval logits, deliberately not built in Flax
+_AUX_PREFIXES = ("aux1.", "aux2.", "AuxLogits.")
+
+
+def _inception_key_to_path(key: str):
+    """GoogLeNet / Inception-v3 keys -> Flax paths. Module names mirror the
+    torch attribute paths; Sequential indices fuse into the parent name
+    (``branch2.0`` -> ``branch2_0``). Aux-head keys return "skip"."""
+    if key.startswith(_AUX_PREFIXES):
+        return "skip"
+    if key in ("fc.weight", "fc.bias"):
+        return ("params", ("fc",), "linear-" + key.split(".")[1])
+    parts = key.split(".")
+    if len(parts) >= 3 and parts[-2] in ("conv", "bn"):
+        mods = []
+        for p in parts[:-2]:
+            if p.isdigit() and mods:
+                mods[-1] = f"{mods[-1]}_{p}"
+            else:
+                mods.append(p)
+        if parts[-2] == "conv" and parts[-1] == "weight":
+            return ("params", tuple(mods) + ("conv",), "conv")
+        if parts[-2] == "bn" and parts[-1] in _BN_PARTS:
+            coll, leaf = _BN_PARTS[parts[-1]]
+            return (coll, tuple(mods) + ("bn",), "bn-" + leaf)
+    return None
+
+
+# MNASNet `layers` Sequential: convs at 0/3/6/14 (stem + head) and 0/3/6
+# inside each inverted residual; BNs at the index right after each conv
+_MNAS_STEM_CONV, _MNAS_STEM_BN = {0, 3, 6, 14}, {1, 4, 7, 15}
+_MNAS_BLOCK_CONV, _MNAS_BLOCK_BN = {0, 3, 6}, {1, 4, 7}
+
+
+def _mnasnet_key_to_path(key: str) -> Optional[Tuple[str, Tuple[str, ...], str]]:
+    """torchvision MNASNet keys (layers.{i}[.{r}.layers.{j}], classifier.1)
+    -> Flax paths (models/mnasnet.py: l{i}[, l{i}_{r}/conv{j}|bn{j}])."""
+    if key in ("classifier.1.weight", "classifier.1.bias"):
+        return ("params", ("classifier",), "linear-" + key.split(".")[2])
+    m = re.fullmatch(r"layers\.(\d+)\.(\w+)", key)
+    if m:
+        i, part = int(m.group(1)), m.group(2)
+        if part == "weight" and i in _MNAS_STEM_CONV:
+            return ("params", (f"l{i}",), "conv")
+        if i in _MNAS_STEM_BN and part in _BN_PARTS:
+            coll, leaf = _BN_PARTS[part]
+            return (coll, (f"l{i}",), "bn-" + leaf)
+        return None
+    m = re.fullmatch(r"layers\.(\d+)\.(\d+)\.layers\.(\d+)\.(\w+)", key)
+    if m:
+        block = f"l{m.group(1)}_{m.group(2)}"
+        j, part = int(m.group(3)), m.group(4)
+        if part == "weight" and j in _MNAS_BLOCK_CONV:
+            return ("params", (block, f"conv{j}"), "conv")
+        if j in _MNAS_BLOCK_BN and part in _BN_PARTS:
+            coll, leaf = _BN_PARTS[part]
+            return (coll, (block, f"bn{j}"), "bn-" + leaf)
+    return None
+
+
 _ARCH_MAPPERS = {
     "ResNet10": _resnet_key_to_path,
     "ResNet18": _resnet_key_to_path,
@@ -279,6 +354,13 @@ _ARCH_MAPPERS = {
     "densenet169": _densenet_key_to_path,
     "densenet201": _densenet_key_to_path,
     "mobilenet_v2": _mobilenet_key_to_path,
+    "alexnet": _alexnet_key_to_path,
+    "googlenet": _inception_key_to_path,
+    "inception_v3": _inception_key_to_path,
+    "mnasnet0_5": _mnasnet_key_to_path,
+    "mnasnet0_75": _mnasnet_key_to_path,
+    "mnasnet1_0": _mnasnet_key_to_path,
+    "mnasnet1_3": _mnasnet_key_to_path,
 }
 
 
@@ -520,6 +602,8 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray], arch: str) -> di
             continue
         value = np.asarray(value)
         resolved = mapper(key)
+        if resolved == "skip":  # e.g. train-only aux heads not built in Flax
+            continue
         if resolved is None:
             unmapped.append(key)
             continue
@@ -537,6 +621,8 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray], arch: str) -> di
         else:  # pragma: no cover
             raise AssertionError(kind)
     assert not unmapped, f"Unmapped checkpoint keys for arch {arch}: {unmapped}"
+    if not variables["batch_stats"]:  # BN-free archs (AlexNet, plain VGG)
+        variables.pop("batch_stats")
     return variables
 
 
@@ -665,6 +751,54 @@ def _enumerate_torch_keys(params, stats, arch):
                     keys += [f"{base}.0.1.{p}" for p in bn4]
                     keys.append(f"{base}.1.weight")
                     keys += [f"{base}.2.{p}" for p in bn4]
+        return keys
+    if arch == "alexnet":
+        for name in params:
+            if name[0] == "f" and name[1:].isdigit():
+                keys += [f"features.{name[1:]}.weight",
+                         f"features.{name[1:]}.bias"]
+        keys += [f"classifier.{i}.{p}" for i in (1, 4, 6)
+                 for p in ("weight", "bias")]
+        return keys
+    if arch in ("googlenet", "inception_v3"):
+        # GoogLeNet branches are torch Sequentials (branch2.0) that Flax
+        # names branch2_0; Inception v3 branch names carry no indices.
+        def tk(name):
+            if arch == "googlenet" and name.startswith("branch"):
+                m = re.fullmatch(r"(branch\d)_(\d)", name)
+                if m:
+                    return f"{m.group(1)}.{m.group(2)}"
+            return name
+
+        for name, sub in params.items():
+            if name == "fc":
+                keys += ["fc.weight", "fc.bias"]
+            elif "conv" in sub:  # top-level BasicConv2d (conv1, Conv2d_*a..)
+                keys.append(f"{name}.conv.weight")
+                keys += [f"{name}.bn.{p}" for p in bn4]
+            else:  # inception block of BasicConv2d branches
+                for b in sub:
+                    keys.append(f"{name}.{tk(b)}.conv.weight")
+                    keys += [f"{name}.{tk(b)}.bn.{p}" for p in bn4]
+        return keys
+    if arch.startswith("mnasnet"):
+        for name, sub in params.items():
+            if name == "classifier":
+                keys += ["classifier.1.weight", "classifier.1.bias"]
+            elif "_" in name:  # l{i}_{r} inverted residual
+                i, r = name[1:].split("_")
+                for c in sub:
+                    base = f"layers.{i}.{r}.layers.{c[-1]}"
+                    if c.startswith("conv"):
+                        keys.append(f"{base}.weight")
+                    else:
+                        keys += [f"{base}.{p}" for p in bn4]
+            else:  # stem/head l{i}
+                i = int(name[1:])
+                if i in _MNAS_STEM_CONV:
+                    keys.append(f"layers.{i}.weight")
+                else:
+                    keys += [f"layers.{i}.{p}" for p in bn4]
         return keys
     if arch.startswith("wrn"):
         for name in params:

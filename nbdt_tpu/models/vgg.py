@@ -16,7 +16,8 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ("VGG", "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn")
+__all__ = ("VGG", "vgg11", "vgg13", "vgg16", "vgg19",
+           "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn")
 
 _CONFIGS = {
     11: (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),
@@ -32,6 +33,7 @@ _CONFIGS = {
 class VGG(nn.Module):
     depth: int = 16
     num_classes: int = 1000
+    batch_norm: bool = True  # False = torchvision's plain vgg11/13/16/19
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -44,15 +46,39 @@ class VGG(nn.Module):
             if v == "M":
                 out = nn.max_pool(out, (2, 2), strides=(2, 2))
             else:
-                out = nn.Conv(int(v), (3, 3), padding=1, use_bias=False,
+                # plain VGG convs carry a bias (there is no BN to absorb it)
+                out = nn.Conv(int(v), (3, 3), padding=1,
+                              use_bias=not self.batch_norm,
                               name=f"conv{i}", dtype=self.dtype)(out)
-                out = nn.relu(norm(name=f"bn{i}")(out))
+                if self.batch_norm:
+                    out = norm(name=f"bn{i}")(out)
+                out = nn.relu(out)
                 i += 1
         out = out.mean(axis=(1, 2)).astype(jnp.float32)
         if features_only:
             return out
         return nn.Dense(self.num_classes, name="classifier",
                         dtype=jnp.float32)(out)
+
+
+def vgg11(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
+    return VGG(depth=11, num_classes=num_classes, batch_norm=False,
+               dtype=dtype)
+
+
+def vgg13(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
+    return VGG(depth=13, num_classes=num_classes, batch_norm=False,
+               dtype=dtype)
+
+
+def vgg16(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
+    return VGG(depth=16, num_classes=num_classes, batch_norm=False,
+               dtype=dtype)
+
+
+def vgg19(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
+    return VGG(depth=19, num_classes=num_classes, batch_norm=False,
+               dtype=dtype)
 
 
 def vgg11_bn(num_classes: int = 1000, dtype=jnp.float32) -> VGG:
