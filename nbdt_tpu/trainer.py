@@ -206,18 +206,22 @@ def _normalize_prologue(normalize):
 def _device_augment(x: jnp.ndarray, key, crop_pad: int, flip: bool) -> jnp.ndarray:
     """Random pad+crop+flip inside jit (uint8 in, uint8 out) — the
     torchvision RandomCrop(pad)/RandomHorizontalFlip pair as vectorized
-    device ops (vmap'd dynamic_slice lowers to one gather; the flip is a
-    masked reverse on the VPU)."""
+    device ops.
+
+    The per-image crop is two single-axis take_along_axis gathers, NOT
+    vmap(dynamic_slice): the batched 3-D gather that lowers to costs
+    ~9 ms per 512-batch on a v5e — half the whole train step (measured
+    25 -> 16 ms/step when replaced). Also measured and NOT kept: fusing
+    crop+flip into one flattened H*W-index gather (flip = reversed column
+    indices) is a wash in the full step (0.995x, tools/probe_augment.py)
+    and slower in isolation — XLA already fuses the axis-wise form well.
+    """
     B, H, W, C = x.shape
     kc, kf = jax.random.split(key)
     if crop_pad:
         xp = jnp.pad(x, ((0, 0), (crop_pad, crop_pad),
                          (crop_pad, crop_pad), (0, 0)))
         offs = jax.random.randint(kc, (B, 2), 0, 2 * crop_pad + 1)
-        # Per-image crop as two single-axis take_along_axis gathers — NOT
-        # vmap(dynamic_slice), whose batched 3-D gather costs ~9 ms/batch
-        # on a v5e (half the whole train step); the axis-wise form runs in
-        # noise (measured 25 -> 16 ms/step).
         rows = offs[:, :1] + jnp.arange(H)[None]  # [B, H]
         cols = offs[:, 1:] + jnp.arange(W)[None]  # [B, W]
         x = jnp.take_along_axis(xp, rows[:, :, None, None], axis=1)

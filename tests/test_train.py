@@ -605,6 +605,37 @@ def test_device_augment_semantics():
         assert same or mirror, i
 
 
+def test_device_augment_exact_numpy_parity():
+    """The in-jit augment must exactly equal a per-image numpy
+    crop-then-mirror on the SAME RNG draws — pins the gather formulation's
+    semantics so any restructuring (e.g. the probed flat-gather variant,
+    tools/probe_augment.py) stays bit-identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbdt_tpu.trainer import _device_augment
+
+    x = np.random.RandomState(1).randint(0, 256, (32, 16, 16, 3), np.uint8)
+    pad = 3
+    for seed in (0, 7):
+        key = jax.random.PRNGKey(seed)
+        fused = np.asarray(
+            _device_augment(jnp.asarray(x), key, crop_pad=pad, flip=True)
+        )
+        # reference: two axis-wise gathers then a masked reverse, identical
+        # random draw order (kc randint offsets, kf bernoulli flips)
+        kc, kf = jax.random.split(key)
+        offs = np.asarray(jax.random.randint(kc, (len(x), 2), 0, 2 * pad + 1))
+        f = np.asarray(jax.random.bernoulli(kf, 0.5, (len(x),)))
+        xp = np.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        for i in range(len(x)):
+            r, c = offs[i]
+            crop = xp[i, r:r + 16, c:c + 16]
+            if f[i]:
+                crop = crop[:, ::-1]
+            np.testing.assert_array_equal(fused[i], crop, err_msg=str(i))
+
+
 def test_trainer_cache_dataset_learns(synthetic_tree, tmp_path):
     """Trainer(cache_dataset=True): the device-resident epoch loop trains
     (loss decreases) and evaluate() still runs off the host testloader."""
