@@ -398,6 +398,36 @@ def test_zoo3_forward_and_probe(arch, size, feat):
     assert centers is not None and centers.shape == (10, feat)
 
 
+def test_zoo3_nbdt_end_to_end():
+    """A new-zoo backbone drives the full NBDT flow: induce a hierarchy
+    from its classifier rows, build the tree, and run soft + hard
+    inference with decision paths (the reference's --arch star-import
+    promise, models/__init__.py:1-12)."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.assets import get_dataset_wnids
+    from nbdt_tpu.hierarchy.build import build_induced_graph
+    from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
+    from nbdt_tpu.model import HardNBDT, SoftNBDT
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.tree import Tree
+
+    module, variables = init_model("mnasnet0_5", 10, (32, 32, 3))
+    wnids = get_dataset_wnids("CIFAR10")
+    centers = get_centers_from_flax_params(variables["params"])
+    tree = Tree.from_graph(build_induced_graph(wnids, centers), wnids,
+                           classes=[f"c{i}" for i in range(10)])
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3)
+                    .astype(np.float32))
+    soft = SoftNBDT(dataset=None, model=module, tree=tree, params=variables)
+    out, decisions = soft.forward_with_decisions(x)
+    assert out.shape == (2, 10) and len(decisions) == 2
+    assert all("prob" in d and "name" in d for d in decisions[0])
+    hard = HardNBDT(dataset=None, model=module, tree=tree, params=variables)
+    hout, hdec = hard.forward_with_decisions(x)
+    assert hout.shape == (2, 10) and len(hdec[0]) >= 2
+
+
 def test_zoo3_roundtrip_exact():
     """flax -> torch -> flax is exact for the new families (key-set
     enumeration covers every parameter; nothing silently dropped)."""
