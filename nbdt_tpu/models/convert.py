@@ -657,7 +657,7 @@ def flax_to_torch_state_dict(variables: dict, arch: str) -> Dict[str, np.ndarray
     mapper = _ARCH_MAPPERS.get(arch, _resnet_key_to_path)
     for torch_key in _enumerate_torch_keys(params, stats, arch):
         resolved = mapper(torch_key)
-        if resolved:
+        if resolved and resolved != "skip":
             emit(torch_key, *resolved)
     return out
 

@@ -7,7 +7,11 @@ attribute paths (``inception3a.branch2.0`` -> ``inception3a/branch2_0``)
 so the converter is a string rewrite (models/convert.py). The train-only
 auxiliary heads (aux1/aux2) are not built — they never contribute to eval
 logits, and NBDT consumes eval logits only; the converter skips their
-checkpoint keys explicitly.
+checkpoint keys explicitly. Like Inception v3, ``transform_input`` is not
+implemented (the ctor defaults it False; torchvision's *pretrained* loader
+forces it True, so reference-released googlenet checkpoints need the
+per-channel input rescale applied host-side before this model to
+reproduce reference logits — same documented deviation as inception.py).
 """
 
 from __future__ import annotations
@@ -90,7 +94,8 @@ class Inception(nn.Module):
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
 
-# (name, in-channels ignored, ch1x1, ch3x3red, ch3x3, ch5x5red, ch5x5, pool)
+# (name, ch1x1, ch3x3red, ch3x3, ch5x5red, ch5x5, pool_proj) — in-channels
+# are implied by the previous block's concatenated width
 _BLOCKS = (
     ("inception3a", 64, 96, 128, 16, 32, 32),
     ("inception3b", 128, 128, 192, 32, 96, 64),

@@ -48,8 +48,12 @@ class _InvertedResidual(nn.Module):
     def __call__(self, x, train: bool = False):
         cin = x.shape[-1]
         mid = cin * self.expand
+        # torchvision mnasnet uses _BN_MOMENTUM = 1 - 0.9997 (torch
+        # convention) = flax momentum 0.9997, NOT the usual 0.9 — matters
+        # only for train-mode running-stat EMA, but exported stats must
+        # track the reference's decay
         norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=not train, momentum=0.9997, epsilon=1e-5,
             dtype=jnp.float32, name=name)
         h = nn.Conv(mid, (1, 1), use_bias=False, name="conv0",
                     dtype=self.dtype)(x)
@@ -74,8 +78,9 @@ class MNASNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False):
+        # momentum: see _InvertedResidual (torchvision's 1 - 0.9997)
         norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=not train, momentum=0.9997, epsilon=1e-5,
             dtype=jnp.float32, name=name)
         out = x.astype(self.dtype)
         out = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,

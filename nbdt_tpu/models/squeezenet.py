@@ -87,16 +87,10 @@ class SqueezeNet(nn.Module):
                 x = nn.relu(nn.Conv(c, (k, k), strides=(s, s), padding=0,
                                     name=f"f{idx}", dtype=self.dtype)(x))
             elif kind == "pool":
-                # MaxPool2d(kernel=3, stride=2, ceil_mode=True):
-                # out = ceil((H-3)/2)+1, so even H needs one trailing pad
-                # element (flax pads with -inf — the partial window takes
-                # the max of its real elements, same as torch ceil_mode)
-                pad_h = (x.shape[1] + 1) % 2
-                pad_w = (x.shape[2] + 1) % 2
-                x = nn.max_pool(
-                    x, (3, 3), strides=(2, 2),
-                    padding=((0, pad_h), (0, pad_w)),
-                )
+                # MaxPool2d(kernel=3, stride=2, ceil_mode=True)
+                from .googlenet import ceil_max_pool
+
+                x = ceil_max_pool(x, 3, 2)
             else:
                 x = Fire(*args, name=f"f{idx}", dtype=self.dtype)(x)
         if features_only:

@@ -213,8 +213,8 @@ def _device_augment(x: jnp.ndarray, key, crop_pad: int, flip: bool) -> jnp.ndarr
     ~9 ms per 512-batch on a v5e — half the whole train step (measured
     25 -> 16 ms/step when replaced). Also measured and NOT kept: fusing
     crop+flip into one flattened H*W-index gather (flip = reversed column
-    indices) is a wash in the full step (0.995x, tools/probe_augment.py)
-    and slower in isolation — XLA already fuses the axis-wise form well.
+    indices) is 0.81x in the full step (tools/probe_augment.py) — the flat
+    1-D gather de-tiles worse than the two small axis-wise gathers.
     """
     B, H, W, C = x.shape
     kc, kf = jax.random.split(key)

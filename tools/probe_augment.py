@@ -24,8 +24,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def old_device_augment(x, key, crop_pad: int, flip: bool):
-    """The replaced formulation: two axis-wise gathers + masked reverse."""
+def fused_device_augment(x, key, crop_pad: int, flip: bool):
+    """The probed (and rejected) reformulation: ONE flattened H*W-index
+    gather with the flip folded into reversed column indices. Identical
+    semantics and RNG stream to trainer._device_augment (pinned bit-exact
+    by tests/test_train.py::test_device_augment_exact_numpy_parity against
+    the same numpy reference)."""
     import jax
     import jax.numpy as jnp
 
@@ -37,9 +41,15 @@ def old_device_augment(x, key, crop_pad: int, flip: bool):
         offs = jax.random.randint(kc, (B, 2), 0, 2 * crop_pad + 1)
         rows = offs[:, :1] + jnp.arange(H)[None]
         cols = offs[:, 1:] + jnp.arange(W)[None]
-        x = jnp.take_along_axis(xp, rows[:, :, None, None], axis=1)
-        x = jnp.take_along_axis(x, cols[:, None, :, None], axis=2)
-    if flip:
+        if flip:
+            # flip-after-crop == crop with reversed column indices
+            f = jax.random.bernoulli(kf, 0.5, (B,))
+            cols = jnp.where(f[:, None], cols[:, ::-1], cols)
+        flat = rows[:, :, None] * (W + 2 * crop_pad) + cols[:, None, :]
+        x = jnp.take_along_axis(
+            xp.reshape(B, -1, C), flat.reshape(B, H * W)[:, :, None], axis=1
+        ).reshape(B, H, W, C)
+    elif flip:
         f = jax.random.bernoulli(kf, 0.5, (B,))
         x = jnp.where(f[:, None, None, None], x[:, :, ::-1, :], x)
     return x
@@ -74,7 +84,7 @@ def main():
 
     log(f"backend: {jax.default_backend()}")
     B = args.batch
-    new_aug = trainer_mod._device_augment
+    ship_aug = trainer_mod._device_augment  # the shipped axis-wise form
 
     # --- 1. augment-only microbench -------------------------------------
     x = jnp.asarray(np.random.RandomState(0).randint(
@@ -96,9 +106,9 @@ def main():
         log(f"augment-only {name}: {best * 1e3:.3f} ms/batch")
         return best
 
-    t_new = timed(new_aug, "fused-1-gather")
-    t_old = timed(old_device_augment, "two-gather+reverse")
-    log(f"augment micro: fused is {t_old / t_new:.2f}x the old rate")
+    t_fused = timed(fused_device_augment, "fused-1-gather")
+    t_ship = timed(ship_aug, "two-gather+reverse")
+    log(f"augment micro: fused is {t_ship / t_fused:.2f}x the shipped rate")
 
     # --- 2. full cached train step --------------------------------------
     module, variables = init_model("ResNet18", 10, (32, 32, 3))
@@ -117,18 +127,36 @@ def main():
     perm = jnp.asarray(np.random.RandomState(3).permutation(N))
     norm = ((0.4914, 0.4822, 0.4465), (0.2023, 0.1994, 0.2010))
 
-    def build(aug_fn):
-        trainer_mod._device_augment = aug_fn
-        step = trainer_mod.make_train_step(
-            module16, optimizer, "SoftTreeSupLoss", jt, cached=True,
-            batch_size=B, normalize=norm,
-            steps_per_call=args.steps_per_call)
-        return step
-
     # host snapshots: the step donates its buffers, so each run gets a
     # fresh device copy (device_put of a donated array raises)
     host_params = jax.tree.map(np.asarray, variables["params"])
     host_stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    def build(aug_fn):
+        """Build AND compile the step while the augment global is patched.
+
+        trainer.make_train_step's one_step resolves ``_device_augment``
+        from the trainer module namespace at TRACE time (the step's first
+        invocation), not at build time — so the compile must happen inside
+        the patch window, or every step silently traces whatever the
+        global holds when run() first calls it.
+        """
+        trainer_mod._device_augment = aug_fn
+        try:
+            step = trainer_mod.make_train_step(
+                module16, optimizer, "SoftTreeSupLoss", jt, cached=True,
+                batch_size=B, normalize=norm,
+                steps_per_call=args.steps_per_call)
+            params = jax.device_put(host_params)
+            stats = jax.device_put(host_stats)
+            opt = optimizer.init(params)
+            out = step(params, stats, opt, images, labels, perm,
+                       jnp.int32(0), jax.random.PRNGKey(0),
+                       jnp.float32(1), jnp.float32(1))
+            jax.block_until_ready(out[:3])
+        finally:
+            trainer_mod._device_augment = ship_aug
+        return step
 
     def run(step, name):
         params = jax.device_put(host_params)
@@ -152,16 +180,15 @@ def main():
         log(f"cached-step {name}: {best * 1e3:.2f} ms/step = {ips:,.0f} imgs/s")
         return ips
 
-    step_new = build(new_aug)
-    step_old = build(old_device_augment)
-    trainer_mod._device_augment = new_aug
-    r_new1 = run(step_new, "fused-1-gather")
-    r_old1 = run(step_old, "two-gather+reverse")
-    r_new2 = run(step_new, "fused-1-gather (2nd)")
-    r_old2 = run(step_old, "two-gather+reverse (2nd)")
-    r_new, r_old = max(r_new1, r_new2), max(r_old1, r_old2)
-    log(f"RESULT: fused {r_new:,.0f} vs old {r_old:,.0f} imgs/s "
-        f"({r_new / r_old:.3f}x)")
+    step_fused = build(fused_device_augment)
+    step_ship = build(ship_aug)
+    r_f1 = run(step_fused, "fused-1-gather")
+    r_s1 = run(step_ship, "two-gather+reverse")
+    r_f2 = run(step_fused, "fused-1-gather (2nd)")
+    r_s2 = run(step_ship, "two-gather+reverse (2nd)")
+    r_fused, r_ship = max(r_f1, r_f2), max(r_s1, r_s2)
+    log(f"RESULT: fused {r_fused:,.0f} vs shipped {r_ship:,.0f} imgs/s "
+        f"({r_fused / r_ship:.3f}x)")
 
 
 if __name__ == "__main__":
