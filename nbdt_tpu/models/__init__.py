@@ -17,12 +17,19 @@ from .alexnet import AlexNet, alexnet
 from .efficientnet import (
     EfficientNet,
     efficientnet_b0,
+    efficientnet_b0b,
     efficientnet_b1,
+    efficientnet_b1b,
     efficientnet_b2,
+    efficientnet_b2b,
     efficientnet_b3,
+    efficientnet_b3b,
     efficientnet_b4,
+    efficientnet_b4b,
     efficientnet_b5,
+    efficientnet_b5b,
     efficientnet_b6,
+    efficientnet_b6b,
     efficientnet_b7,
     efficientnet_b7b,
 )
@@ -100,6 +107,13 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "efficientnet_b5": efficientnet_b5,
     "efficientnet_b6": efficientnet_b6,
     "efficientnet_b7": efficientnet_b7,
+    "efficientnet_b0b": efficientnet_b0b,
+    "efficientnet_b1b": efficientnet_b1b,
+    "efficientnet_b2b": efficientnet_b2b,
+    "efficientnet_b3b": efficientnet_b3b,
+    "efficientnet_b4b": efficientnet_b4b,
+    "efficientnet_b5b": efficientnet_b5b,
+    "efficientnet_b6b": efficientnet_b6b,
     "efficientnet_b7b": efficientnet_b7b,
     "vit_b16": vit_b16,
     "vit_s16": vit_s16,

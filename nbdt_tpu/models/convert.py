@@ -496,7 +496,9 @@ def _vit_heads(arch: str) -> int:
 _ARCH_SPECS = {
     **{f"efficientnet_{v}": (lambda v=v: _efficientnet_spec(v))
        for v in ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")},
-    "efficientnet_b7b": lambda: _efficientnet_spec("b7"),
+    # pytorchcv's TF-mode "b" aliases share the plain variants' key layout
+    **{f"efficientnet_{v}b": (lambda v=v: _efficientnet_spec(v))
+       for v in ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")},
     "vit_b16": _vit_spec,
     "vit_s16": _vit_spec,
 }

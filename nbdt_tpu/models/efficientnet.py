@@ -171,6 +171,15 @@ efficientnet_b4 = _make("b4")
 efficientnet_b5 = _make("b5")
 efficientnet_b6 = _make("b6")
 efficientnet_b7 = _make("b7")
-# pytorchcv "b" alias = TF-ported weights (SAME padding), the reference's
-# ImageNet NBDT arch (hierarchy='induced-efficientnet_b7b').
+# pytorchcv "b" aliases = TF-ported weights (SAME padding); pytorchcv's
+# efficientnet module (star-imported by the reference) exposes the whole
+# b0b..b7b family — b7b is the reference's ImageNet NBDT arch
+# (hierarchy='induced-efficientnet_b7b').
+efficientnet_b0b = _make("b0", tf_mode=True)
+efficientnet_b1b = _make("b1", tf_mode=True)
+efficientnet_b2b = _make("b2", tf_mode=True)
+efficientnet_b3b = _make("b3", tf_mode=True)
+efficientnet_b4b = _make("b4", tf_mode=True)
+efficientnet_b5b = _make("b5", tf_mode=True)
+efficientnet_b6b = _make("b6", tf_mode=True)
 efficientnet_b7b = _make("b7", tf_mode=True)

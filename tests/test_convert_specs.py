@@ -121,6 +121,29 @@ def test_efficientnet_b7b_is_tf_mode():
     assert efficientnet_b7(10).tf_mode is False
 
 
+def test_efficientnet_b_alias_family():
+    """pytorchcv's efficientnet module (star-imported by the reference)
+    exposes the whole b0b..b7b TF-mode family: every alias is registered,
+    tf_mode, converter-spec'd, and b0b runs a forward + induction probe."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
+    from nbdt_tpu.models import MODEL_REGISTRY, init_model
+    from nbdt_tpu.models.convert import _ARCH_SPECS
+
+    for v in range(8):
+        name = f"efficientnet_b{v}b"
+        assert name in MODEL_REGISTRY and name in _ARCH_SPECS, name
+        assert MODEL_REGISTRY[name](10).tf_mode is True, name
+    module, variables = init_model("efficientnet_b0b", 10, (64, 64, 3))
+    x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    out = module.apply(variables, jnp.asarray(x), train=False)
+    assert out.shape == (1, 10)
+    centers = get_centers_from_flax_params(variables["params"])
+    assert centers is not None and centers.shape == (10, 1280)
+
+
 def test_spec_rejects_incomplete_and_leftover_keys():
     from nbdt_tpu.models import init_model
     from nbdt_tpu.models.convert import (
