@@ -342,6 +342,17 @@ _ARCH_MAPPERS = {
     "ResNet50": _resnet_key_to_path,
     "ResNet101": _resnet_key_to_path,
     "ResNet152": _resnet_key_to_path,
+    # torchvision ImageNet ResNet family: same key grammar as the reference
+    # CIFAR ResNets (the mapper accepts both shortcut.* and downsample.*)
+    "resnet18": _resnet_key_to_path,
+    "resnet34": _resnet_key_to_path,
+    "resnet50": _resnet_key_to_path,
+    "resnet101": _resnet_key_to_path,
+    "resnet152": _resnet_key_to_path,
+    "resnext50_32x4d": _resnet_key_to_path,
+    "resnext101_32x8d": _resnet_key_to_path,
+    "wide_resnet50_2": _resnet_key_to_path,
+    "wide_resnet101_2": _resnet_key_to_path,
     "wrn28_10": _wrn_key_to_path,
     "wrn28_10_cifar10": _wrn_key_to_path,
     "wrn28_10_cifar100": _wrn_key_to_path,
