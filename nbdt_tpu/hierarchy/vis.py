@@ -417,6 +417,10 @@ function update() {
     if (shown) {
       n.g.style.display = '';
       if (n.link) n.link.style.display = '';
+      // re-expanded before the exit animation finished: the cancelled
+      // animation never ran its completion pass, so clear the pending
+      // hide or the NEXT animation's completion would hide shown nodes
+      n.hideAfter = false;
       // collapsed indicator: hatch fill in gradient mode (the reference's
       // url(#diagonalHatch), :554), filled circle otherwise
       n.g.querySelector('circle').setAttribute(

@@ -57,6 +57,16 @@ def get_parser() -> argparse.ArgumentParser:
              "per-step host->device transfer bound; CIFAR-scale stores "
              "only)")
     parser.add_argument(
+        "--cache-crop-pad", type=int, default=4,
+        help="cached-mode augmentation: random-crop padding in pixels "
+             "(0 disables the crop; the in-jit analogue of torchvision "
+             "RandomCrop(pad))")
+    parser.add_argument(
+        "--no-cache-flip", action="store_true",
+        help="cached-mode augmentation: disable the random horizontal "
+             "flip (for datasets whose transform_train has none, e.g. "
+             "digits)")
+    parser.add_argument(
         "--checkpoint-backend", default="msgpack",
         choices=("msgpack", "orbax"),
         help="orbax = sharding-aware directory checkpoints (each host "
@@ -300,6 +310,8 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_backend=args.checkpoint_backend,
         cache_dataset=args.cache_dataset,
+        cache_crop_pad=args.cache_crop_pad,
+        cache_flip=not args.no_cache_flip,
         name=args.name,
         metric=args.metric,
         disable_test_eval=args.disable_test_eval,

@@ -203,6 +203,15 @@ def _normalize_prologue(normalize):
     return prologue
 
 
+def _unwrap_loader(loader):
+    """Peel prefetch/decorator wrappers down to the underlying DataLoader
+    (PrefetchLoader forwards iteration but not the flat-array attrs the
+    cache-dataset fast path reads — main.py always wraps the train loader)."""
+    while hasattr(loader, "loader"):
+        loader = loader.loader
+    return loader
+
+
 def _device_augment(x: jnp.ndarray, key, crop_pad: int, flip: bool) -> jnp.ndarray:
     """Random pad+crop+flip inside jit (uint8 in, uint8 out) — the
     torchvision RandomCrop(pad)/RandomHorizontalFlip pair as vectorized
@@ -415,6 +424,29 @@ def make_train_step(module, optimizer, loss_name: str, jt: Optional[JTreeArrays]
     return cached_multi_step
 
 
+def _batch_hit_counts(module, prologue, params, batch_stats, x, y, valid,
+                      k, analyzer_fwd, analyzer_k):
+    """One batch's masked top-k hit counts — the SINGLE definition shared
+    by the host-fed and cached eval step builders, so the two paths (whose
+    numbers the benchmarks compare against each other) cannot silently
+    diverge. Returns (hits, analyzer_hits_or_None, count)."""
+    logits = module.apply(
+        {"params": params, "batch_stats": batch_stats}, prologue(x),
+        train=False,
+    )
+
+    def topk_hits(scores, kk):
+        kk = min(kk, scores.shape[-1])
+        _, topk = jax.lax.top_k(scores, kk)
+        return ((topk == y[:, None]).any(-1) & valid).sum()
+
+    ahits = None
+    if analyzer_fwd is not None:
+        ahits = topk_hits(analyzer_fwd(logits.astype(jnp.float32)),
+                          analyzer_k)
+    return topk_hits(logits, k), ahits, valid.sum()
+
+
 def make_cached_eval_count_step(module, k: int, batch_size: int,
                                 n_batches: int, normalize=None,
                                 analyzer_fwd=None, analyzer_k: int = 1):
@@ -433,23 +465,13 @@ def make_cached_eval_count_step(module, k: int, batch_size: int,
                                              batch_size)
             v = jax.lax.dynamic_slice_in_dim(valid, i * batch_size,
                                              batch_size)
-            logits = module.apply(
-                {"params": params, "batch_stats": batch_stats},
-                prologue(x), train=False,
-            )
-
-            def topk_hits(scores, kk):
-                kk = min(kk, scores.shape[-1])
-                _, topk = jax.lax.top_k(scores, kk)
-                return ((topk == y[:, None]).any(-1) & v).sum()
-
             hits, ahits, total = carry
-            hits = hits + topk_hits(logits, k)
-            if analyzer_fwd is not None:
-                ahits = ahits + topk_hits(
-                    analyzer_fwd(logits.astype(jnp.float32)), analyzer_k
-                )
-            return (hits, ahits, total + v.sum()), None
+            h, a, c = _batch_hit_counts(module, prologue, params,
+                                        batch_stats, x, y, v, k,
+                                        analyzer_fwd, analyzer_k)
+            if a is not None:
+                ahits = ahits + a
+            return (hits + h, ahits, total + c), None
 
         zero = jnp.int32(0)
         (hits, ahits, total), _ = jax.lax.scan(
@@ -489,22 +511,13 @@ def make_eval_count_step(module, k: int, normalize=None, analyzer_fwd=None,
 
     @jax.jit
     def step(params, batch_stats, x, y, valid):
-        logits = module.apply(
-            {"params": params, "batch_stats": batch_stats}, prologue(x),
-            train=False,
+        hits, ahits, total = _batch_hit_counts(
+            module, prologue, params, batch_stats, x, y, valid, k,
+            analyzer_fwd, analyzer_k,
         )
-
-        def topk_hits(scores, kk):
-            kk = min(kk, scores.shape[-1])
-            _, topk = jax.lax.top_k(scores, kk)
-            return ((topk == y[:, None]).any(-1) & valid).sum()
-
-        if analyzer_fwd is None:
-            return topk_hits(logits, k), valid.sum()
-        return (topk_hits(logits, k),
-                topk_hits(analyzer_fwd(logits.astype(jnp.float32)),
-                          analyzer_k),
-                valid.sum())
+        if ahits is None:
+            return hits, total
+        return hits, ahits, total
 
     return step
 
@@ -622,18 +635,32 @@ class Trainer:
         self._cached_test = None
         self._cached_n = 0
         if config.cache_dataset:
-            if analyzer is not None:
-                # Analyzers consume per-batch host images/logits — caching
-                # would pull them back every step anyway. Keep the host
-                # loader path, loudly.
+            # Plain DecisionRules analyzers score on device inside the same
+            # jitted eval count step (analysis.device_eval) and reset their
+            # metric at start_test, so caching preserves their reported
+            # number; only analyzers with custom per-batch host behavior
+            # (Superclass mapping, ScoreSave image capture) force the host
+            # loader path.
+            analyzer_ok = analyzer is None or (
+                hasattr(analyzer, "device_eval")
+                and analyzer.device_eval() is not None
+            )
+            if not analyzer_ok:
                 Colors.red(
-                    "==> cache_dataset disabled: an analyzer is attached "
-                    "(its update_batch contract needs host batches)"
+                    "==> cache_dataset disabled: analyzer "
+                    f"{type(analyzer).__name__} needs per-batch host "
+                    "images/logits (no device_eval)"
                 )
             else:
+                if analyzer is not None:
+                    Colors.cyan(
+                        "==> cache_dataset + device analyzer: NBDT "
+                        "accuracy is device-counted at eval; train-batch "
+                        "analyzer updates (display only) are skipped"
+                    )
                 images, labels = self._materialize_uint8(trainloader)
                 if self.device_normalize is None:
-                    ds = trainloader.dataset
+                    ds = _unwrap_loader(trainloader).dataset
                     self.device_normalize = (ds.mean, ds.std)
                 if self.device_normalize_eval is None:
                     self.device_normalize_eval = self.device_normalize
@@ -724,15 +751,19 @@ class Trainer:
     def _materialize_uint8(trainloader):
         """Full (images uint8 [N,H,W,C], labels) arrays for device caching.
 
-        The DataLoader's flat-array fast path exposes the store directly
-        (honoring a label-subset wrapper's index remap); otherwise the
-        dataset streams once through ``dataset[i]``."""
+        Prefetch wrappers are unwrapped first. The DataLoader's flat-array
+        fast path exposes the store directly — its ``images`` is the FULL
+        base store with ``_index`` as the subset-wrapper remap, while its
+        ``labels`` were ALREADY remapped at construction (data/loader.py),
+        so only the images are indexed here. Otherwise the dataset streams
+        once through ``dataset[i]``."""
+        trainloader = _unwrap_loader(trainloader)
         if getattr(trainloader, "images", None) is not None:
             images = trainloader.images
             labels = trainloader.labels
             index = getattr(trainloader, "_index", None)
             if index is not None:
-                images, labels = images[index], labels[index]
+                images = images[index]
             return np.ascontiguousarray(images), np.asarray(labels)
         ds = trainloader.dataset
         samples = [ds[i] for i in range(len(ds))]
@@ -852,10 +883,12 @@ class Trainer:
         return last
 
     def _train_epoch_cached(self, epoch: int, tw: float, xw: float) -> dict:
-        """Device-resident epoch: the uint8 store is a jit constant; only a
-        permutation, a step index, an rng key, and the weights cross the
-        host->device boundary. Sync-free like the host loop (metrics
-        convert once at the end); the permutation is generated on device.
+        """Device-resident epoch: the uint8 store stays in HBM and is
+        passed to the step BY REFERENCE as an argument (never a jit
+        constant — CLAUDE.md invariant); only a step index, an rng key,
+        and the weights cross the host->device boundary. Sync-free like
+        the host loop (metrics convert once at the end); the permutation
+        is generated on device.
         """
         import jax.random as jrandom
 

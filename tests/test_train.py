@@ -663,6 +663,83 @@ def test_trainer_cache_dataset_learns(synthetic_tree, tmp_path):
     assert 0 <= acc <= 100
 
 
+def test_trainer_cache_dataset_through_prefetch_loader(synthetic_tree,
+                                                       tmp_path):
+    """main.py always wraps the train loader in PrefetchLoader, which
+    forwards iteration but not the flat-array attrs — cache_dataset must
+    unwrap it (regression: AttributeError at Trainer construction)."""
+    from nbdt_tpu.data import DataLoader, PrefetchLoader, SyntheticDataset
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    ds = SyntheticDataset(num_classes=7, size=32, image_size=16)
+    tl = PrefetchLoader(
+        DataLoader(ds, 8, shuffle=True, transform=ds.transform_train())
+    )
+    vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
+                    pad_last=True)
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=1, loss="SoftTreeSupLoss", lr=0.01,
+                      checkpoint_dir=str(tmp_path), cache_dataset=True)
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    assert tr._cached_train is not None
+    stats = tr.train_epoch(0)
+    assert np.isfinite(stats["loss"])
+
+
+def test_materialize_uint8_subset_wrapper_pairing():
+    """A label-subset wrapper's store: images come from the FULL base
+    store via new_to_old, labels were ALREADY remapped by the DataLoader —
+    re-indexing them again crashed (or silently mispaired) before."""
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.data.custom import IncludeLabelsDataset
+    from nbdt_tpu.trainer import Trainer
+
+    ds = SyntheticDataset(num_classes=7, size=56, image_size=16)
+    wrapped = IncludeLabelsDataset(ds, [0, 2, 5])
+    tl = DataLoader(wrapped, 8, shuffle=True,
+                    transform=ds.transform_train())
+    images, labels = Trainer._materialize_uint8(tl)
+    n2o = np.asarray(wrapped.new_to_old)
+    assert len(images) == len(labels) == len(n2o)
+    np.testing.assert_array_equal(images, np.asarray(ds.images)[n2o])
+    np.testing.assert_array_equal(labels, np.asarray(ds.labels)[n2o])
+    # every (image, label) pair must be a genuine dataset sample
+    for i in range(0, len(labels), 7):
+        img, lab = wrapped[i]
+        np.testing.assert_array_equal(images[i], img)
+        assert labels[i] == lab
+
+
+def test_trainer_cache_dataset_with_device_analyzer(synthetic_tree,
+                                                    tmp_path):
+    """cache_dataset now composes with a plain DecisionRules analyzer: the
+    store is cached (not silently disabled) and evaluate() reports the
+    device-counted NBDT accuracy."""
+    from nbdt_tpu.analysis import SoftEmbeddedDecisionRules
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    ds = SyntheticDataset(num_classes=7, size=32, image_size=16)
+    tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train())
+    vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
+                    pad_last=True)
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=1, loss="SoftTreeSupLoss", lr=0.01,
+                      checkpoint_dir=str(tmp_path), cache_dataset=True)
+    an = SoftEmbeddedDecisionRules(tree=synthetic_tree)
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree,
+                 analyzer=an)
+    assert tr._cached_train is not None  # no longer disabled wholesale
+    tr.train_epoch(0)
+    acc = tr.evaluate(0, checkpoint=False)
+    assert 0 <= acc <= 100
+    assert an.accuracy >= 0  # analyzer metric was fed (device-counted)
+
+
 def test_trainer_cache_dataset_on_mesh(synthetic_tree, tmp_path):
     """cache_dataset composes with a dp mesh: the gathered batch is pinned
     to the dp sharding inside the step and one epoch runs."""
