@@ -32,6 +32,10 @@ def main():
                     help="skip bf16 configs (CPU smoke)")
     ap.add_argument("--cached-only", action="store_true",
                     help="measure only the device-cached config")
+    ap.add_argument("--cached-analyzer-only", action="store_true",
+                    help="measure only the cached-store + device-counted "
+                         "NBDT analyzer one-dispatch eval (the round-3 "
+                         "composition)")
     ap.add_argument("--steps-per-call", type=int, default=16)
     args = ap.parse_args()
 
@@ -93,6 +97,36 @@ def main():
                       batch_size=args.batch, epochs=args.epochs,
                       loss="SoftTreeSupLoss", lr=0.1,
                       checkpoint_dir="/tmp/bench-train-ckpt")
+    # -- device-resident cache + device-counted NBDT analyzer --------------
+    # (the round-3 composition: evaluate() is ONE dispatch including the
+    # analyzer's re-score; previously the analyzer disabled caching)
+    if args.cached_analyzer_only:
+        import json
+
+        cfg_ca = TrainConfig(dataset="CIFAR10", arch=args.arch,
+                             batch_size=args.batch, epochs=1,
+                             loss="SoftTreeSupLoss", lr=0.1,
+                             checkpoint_dir="/tmp/bench-train-ckpt",
+                             cache_dataset=True,
+                             cache_steps_per_call=args.steps_per_call)
+        an = SoftEmbeddedDecisionRules(tree=tree)
+        tr_ca = Trainer(cfg_ca, module16, variables, tl, vl, tree=tree,
+                        analyzer=an)
+        assert tr_ca._cached_train is not None, "cache was disabled"
+        tr_ca.train_epoch(0)  # also exercises the cached train step
+        times = []
+        for _ in range(3):
+            t = time.time()
+            tr_ca.evaluate(0, checkpoint=False)
+            times.append(time.time() - t)
+        best = min(times[1:])
+        rate = len(ds_test) / best
+        log(f"eval one-dispatch (cached store + NBDT-Soft analyzer): "
+            f"{rate:,.0f} imgs/s (epoch {best:.3f}s, "
+            f"NBDT acc {an.accuracy:.2f}%)")
+        print(json.dumps({"eval_cached_analyzer": round(rate, 1)}))
+        return
+
     # -- host-fed uint8 pipeline (round-2 best: ~17.3k on the tunnel) ------
     if not args.cached_only:
         tr = Trainer(cfg, module16, variables, tl, vl, tree=tree,
