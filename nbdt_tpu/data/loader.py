@@ -118,7 +118,12 @@ class DataLoader:
             # are all-reduced across hosts) never double-count a sample.
             total = self._shard_size() * self.num_shards
             if total > len(order):
-                order = np.concatenate([order, order[: total - len(order)]])
+                # np.resize tiles cyclically — a single concat of
+                # order[:total-n] clamps when the wrap exceeds the dataset
+                # (num_shards >= n+2), leaving shards with UNEQUAL lengths
+                # (the SPMD deadlock this padding exists to prevent) and a
+                # valid mask misaligned with the indices.
+                order = np.resize(order, total)
                 real = np.concatenate(
                     [real, np.zeros(total - self._n, dtype=bool)]
                 )
@@ -173,23 +178,48 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         _END = object()
         errors = []
+        stop = threading.Event()
+
+        def _bounded_put(item) -> bool:
+            # A plain q.put would block forever if the consumer abandoned
+            # the epoch (early stop, an exception in the train step) with
+            # the queue full — leaking the thread and its queued batches.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for item in self.loader:
-                    q.put(item)
+                    if not _bounded_put(item):
+                        return
             except BaseException as e:  # surface producer failures
                 errors.append(e)
             finally:
-                q.put(_END)
+                _bounded_put(_END)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+        finally:
+            # Runs on normal exhaustion AND GeneratorExit/exception:
+            # signal the producer, drain so a blocked put can observe the
+            # flag, and reap the thread.
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5)
         if errors:
             raise errors[0]

@@ -88,10 +88,15 @@ def local_data(arr) -> np.ndarray:
 
     if jax.process_count() == 1:
         return np.asarray(arr)
-    shards = sorted(
-        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    # One shard per DISTINCT row slice: on a mesh with a replicated second
+    # axis (tp>1), addressable_shards yields each dp row-slice once per tp
+    # device — concatenating them all would duplicate every local row.
+    by_start = {}
+    for s in arr.addressable_shards:
+        by_start.setdefault(s.index[0].start or 0, s)
+    return np.concatenate(
+        [np.asarray(by_start[k].data) for k in sorted(by_start)]
     )
-    return np.concatenate([np.asarray(s.data) for s in shards])
 
 
 def process_local_batch(local, sharding):

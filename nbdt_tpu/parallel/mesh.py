@@ -45,10 +45,31 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(a, sharding: NamedSharding):
+    """Placement that also works on multi-host meshes.
+
+    Raw ``jax.device_put`` requires every device of the sharding to be
+    addressable from this process; on a mesh spanning hosts it raises. The
+    multi-host path goes through ``distributed.host_array`` (callback
+    placement — each host materializes its addressable portions from the
+    host-global array), same as the ZeRO placements in parallel/zero.py.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(a, sharding)
+    from .distributed import host_array
+
+    return host_array(a, sharding)
+
+
 def shard_batch(mesh: Mesh, *arrays):
-    """Device-put host arrays with batch sharded over dp."""
+    """Device-put host arrays with batch sharded over dp.
+
+    Multi-host: pass the HOST-GLOBAL batch on every process (each host
+    materializes its own slice); per-host slices go through
+    ``distributed.process_local_batch`` instead.
+    """
     sharding = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    out = tuple(_put(a, sharding) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 
@@ -62,8 +83,8 @@ def shard_params(mesh: Mesh, params, tp_shard_classifier: bool = False):
 
     def place(path, leaf):
         if tp_shard_classifier and path and path[-2:] == ("linear", "kernel"):
-            return jax.device_put(leaf, NamedSharding(mesh, P(None, "tp")))
-        return jax.device_put(leaf, repl)
+            return _put(leaf, NamedSharding(mesh, P(None, "tp")))
+        return _put(leaf, repl)
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
 

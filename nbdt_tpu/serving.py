@@ -82,6 +82,15 @@ def make_serving_fn(
     if bf16 and hasattr(serving_module, "dtype"):
         serving_module = serving_module.clone(dtype=jnp.bfloat16)
 
+    # The closure must hold DEVICE arrays before aot_compile/shard_serving
+    # jit this fn live: checkpoint restores hand over host numpy, and a
+    # host-numpy closure lowers as inline HLO constants — the 150 MB-literal
+    # compile stall CLAUDE.md records — and re-uploads weights per call
+    # (measured 14x slower on the folded path, docs/PERFORMANCE.md). A
+    # device-resident closure is the measured-fast headline configuration.
+    # (export_serving serializes the same constants deliberately.)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
     if uint8_input:
         if normalize is None:
             from .data.transforms import CIFAR_MEAN, CIFAR_STD
