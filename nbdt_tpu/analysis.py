@@ -529,7 +529,13 @@ class SuperclassNBDT(Superclass):
     def forward(self, outputs, targets):
         outputs = np.asarray(outputs)
         # mean logits over each superclass's member classes
-        num_super = max(self.new_to_old_classes_pred) + 1
+        num_super = max(
+            (k for k in self.new_to_old_classes_pred if k >= 0), default=-1
+        ) + 1
+        if num_super == 0:
+            # no class mapped to any superclass (the constructor already
+            # warned): behave like the parent — zero predictions, 0% acc
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
         cols = []
         for k in range(num_super):
             old = self.new_to_old_classes_pred.get(k, [])

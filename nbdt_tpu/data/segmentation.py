@@ -347,8 +347,13 @@ class ADE20K(SegDatasetBase):
     def _load_pair(self, index):
         item = self.items[index]
         img = _load_image(os.path.join(self.root, item["fpath_img"]))
-        mask = _load_mask(os.path.join(self.root, item["fpath_segm"]))
-        return img, mask.astype(np.int32) - 1  # 1..150 -> 0..149, void -> -1
+        mask = _load_mask(os.path.join(self.root, item["fpath_segm"])) \
+            .astype(np.int32)
+        # 1..150 -> 0..149; void (0) -> the CONFIGURED ignore_label, like
+        # the other seg datasets (a bare -1 breaks ignore_label=255 runs)
+        remapped = mask - 1
+        remapped[mask == 0] = self.ignore_label
+        return img, remapped
 
 
 class SyntheticSegDataset(SegDatasetBase):

@@ -127,13 +127,27 @@ class Digraph:
         if "contraction" in self._nodes[remove]:
             contraction[remove]["contraction"] = self._nodes[remove]["contraction"]
         H.add_node(keep, contraction=contraction)
+        # networkx order semantics (H = G.copy(); H.remove_node(remove);
+        # H.add_edges_from(remapped)): surviving edges keep their original
+        # adjacency order, and the contracted node's remapped edges are
+        # APPENDED after them — in-edges first, then out-edges. Emitting
+        # the remapped edges at the removed node's iteration position
+        # instead reorders per-parent successor lists whenever a pruned
+        # chain precedes its siblings, and per-node child order IS decision
+        # -path parity (CLAUDE.md invariant; tree.py builds membership in
+        # link order).
         for u in self._nodes:
+            if u == remove:
+                continue
             for v in self._succ[u]:
-                uu = keep if u == remove else u
-                vv = keep if v == remove else v
-                if uu == vv:
-                    continue
-                H.add_edge(uu, vv)
+                if v != remove:
+                    H.add_edge(u, v)
+        for u in self._pred[remove]:
+            if u != keep:
+                H.add_edge(u, keep)
+        for v in self._succ[remove]:
+            if v != keep:
+                H.add_edge(keep, v)
         return H
 
 

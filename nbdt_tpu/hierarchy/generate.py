@@ -59,7 +59,19 @@ def get_centers_from_state_dict(state_dict) -> Optional[np.ndarray]:
 
 
 def get_centers_from_checkpoint(checkpoint: str) -> np.ndarray:
-    """Load FC weights from a torch ``.pth`` checkpoint file."""
+    """Load FC weights from a torch ``.pth`` or Flax ``.msgpack`` checkpoint
+    (both advertised by the nbdt-hierarchy CLI's --checkpoint help)."""
+    if checkpoint.endswith(".msgpack"):
+        import flax.serialization
+
+        with open(checkpoint, "rb") as f:
+            variables = flax.serialization.msgpack_restore(f.read())
+        fc = get_centers_from_flax_params(variables)
+        assert fc is not None, (
+            f"No classifier kernel found in Flax checkpoint {checkpoint} "
+            f"(top-level keys: {list(variables)[:10]})"
+        )
+        return fc
     import torch
 
     data = torch.load(checkpoint, map_location="cpu", weights_only=False)
@@ -131,6 +143,12 @@ def resolve_centers(
             fc = get_centers_from_flax_params(p)
             if fc is not None:
                 return fc
+        raise ValueError(
+            f"A model was provided but no classifier kernel was found in "
+            f"its params (probed top-level names: linear/fc/classifier/"
+            f"head/output). Rename the final Dense, or pass `centers=` "
+            f"directly. Model type: {type(model).__name__}"
+        )
     raise ValueError(
         "Need one of `centers`, `checkpoint`, `state_dict`, `params`, `model` "
         "to induce a hierarchy."

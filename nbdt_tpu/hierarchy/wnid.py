@@ -83,7 +83,12 @@ def _mini_corpus_from_node_link(data: dict) -> dict:
 
     for link in data["links"]:
         top = chains[link["target"]][-1]
-        table[top]["hypernyms"] = [link["source"]]
+        # APPEND: a multi-path (DAG) hierarchy gives a node several
+        # parents; overwriting would keep only the last-seen one and
+        # silently drop ancestor superclasses from hypernym closures
+        hyp = table[top].setdefault("hypernyms", [])
+        if link["source"] not in hyp:
+            hyp.append(link["source"])
     return table
 
 

@@ -958,6 +958,15 @@ class Trainer:
         from . import metrics
 
         metric = getattr(metrics, self.config.metric)()
+        # Eval-only runs (--eval) never pass through fit()'s epoch loop, so
+        # the analyzer's epoch would stay None and "{epoch}" output paths
+        # (ScoreSave, VisualizeHierarchyInference) would render as "None"
+        # — the reference wraps its eval in epoch_context(0)
+        # (main.py:317-324), so seed the epoch here if unset.
+        start_ep = getattr(self.analyzer, "start_epoch", None)
+        if (start_ep is not None
+                and getattr(self.analyzer, "epoch", None) is None):
+            start_ep(epoch)
         # Device-countable analyzer (plain DecisionRules): its NBDT score
         # rides the same jitted count step — see analysis.device_eval.
         analyzer_dev = None

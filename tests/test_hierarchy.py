@@ -506,29 +506,35 @@ def test_vis_print_gradient_textrect(tmp_path):
     assert '"print": false' in html2 and '"gradient": false' in html2
 
 
-def test_hierarchy_cli_wordnet_with_mini_corpus(tmp_path):
+@pytest.mark.parametrize("dataset", ["CIFAR10", "CIFAR100"])
+def test_hierarchy_cli_wordnet_with_mini_corpus(tmp_path, dataset):
     """`nbdt-hierarchy --method wordnet --mini-corpus <shipped graph>` runs
-    the real wordnet builder offline and reproduces the shipped graph."""
+    the real wordnet builder offline and reproduces the shipped graph with
+    links in IDENTICAL ORDER — per-node child order is decision-path
+    parity (CLAUDE.md invariant), so a set comparison is not enough; the
+    CIFAR100 case regressed 16 parents' child order until
+    Digraph.contracted matched networkx's append-after-surviving-edges
+    semantics."""
     import json
 
     from nbdt_tpu.bin.nbdt_hierarchy import main
     from nbdt_tpu.hierarchy.wnid import clear_mini_corpus
 
-    shipped_path = "nbdt_tpu/hierarchies/CIFAR10/graph-wordnet.json"
+    shipped_path = f"nbdt_tpu/hierarchies/{dataset}/graph-wordnet.json"
     try:
         main([
-            "--dataset", "CIFAR10", "--method", "wordnet",
+            "--dataset", dataset, "--method", "wordnet",
             "--mini-corpus", shipped_path,
             "--hierarchies-root", str(tmp_path), "--no-vis",
             "--platform", "cpu",
         ])
     finally:
         clear_mini_corpus()
-    out = json.load(open(tmp_path / "CIFAR10" / "graph-wordnet.json"))
+    out = json.load(open(tmp_path / dataset / "graph-wordnet.json"))
     shipped = json.load(open(shipped_path))
     na = {n["id"]: n.get("label") for n in out["nodes"]}
     nb = {n["id"]: n.get("label") for n in shipped["nodes"]}
     assert na == nb
-    assert {(l["source"], l["target"]) for l in out["links"]} == {
+    assert [(l["source"], l["target"]) for l in out["links"]] == [
         (l["source"], l["target"]) for l in shipped["links"]
-    }
+    ]

@@ -226,3 +226,84 @@ def test_partial_final_batch_trains(tmp_path):
     tr = Trainer(cfg, module, variables, dl, vl, tree=tree)
     stats = tr.train_epoch(0)  # must not crash on the 4-sample batch
     assert np.isfinite(stats["loss"])
+
+
+def test_hierarchy_centers_from_msgpack(tmp_path):
+    """The nbdt-hierarchy CLI advertises .msgpack checkpoints for induced
+    hierarchies; get_centers_from_checkpoint must load them (it previously
+    fed msgpack bytes to torch.load)."""
+    import flax.serialization
+
+    from nbdt_tpu.hierarchy.generate import get_centers_from_checkpoint
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model("ResNet10", 10, (16, 16, 3))
+    p = tmp_path / "ckpt.msgpack"
+    p.write_bytes(flax.serialization.to_bytes(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    ))
+    centers = get_centers_from_checkpoint(str(p))
+    np.testing.assert_allclose(
+        centers, np.asarray(variables["params"]["linear"]["kernel"]).T
+    )
+
+
+def test_superclass_nbdt_empty_mapping_reports_zero(synthetic_tree):
+    """SuperclassNBDT with zero mapped classes must report 0% like its
+    parent, not crash in np.stack over an empty column list."""
+    from nbdt_tpu.analysis import SuperclassNBDT
+
+    an = SuperclassNBDT(tree=synthetic_tree,
+                        superclass_wnids=["n99999999"])
+    an.start_test(0)
+    logits = np.random.RandomState(0).randn(4, len(synthetic_tree.classes))
+    an.update_batch(logits, np.zeros(4, np.int64))
+    assert an.accuracy == 0
+
+
+def test_mini_corpus_keeps_all_parents_multipath(tmp_path):
+    """A multi-path (DAG) hierarchy node with several parents must keep
+    EVERY hypernym in the derived mini corpus (overwriting kept only the
+    last-seen parent, silently breaking hypernym closures)."""
+    import json
+
+    from nbdt_tpu.hierarchy.wnid import (
+        clear_mini_corpus,
+        install_mini_corpus,
+        mini_corpus_from_graph_json,
+        wnid_to_synset,
+    )
+
+    graph = {
+        "directed": True,
+        "nodes": [{"id": "n00000001", "label": "root"},
+                  {"id": "n00000002", "label": "a"},
+                  {"id": "n00000003", "label": "b"},
+                  {"id": "n00000004", "label": "leaf"}],
+        "links": [{"source": "n00000001", "target": "n00000002"},
+                  {"source": "n00000001", "target": "n00000003"},
+                  {"source": "n00000002", "target": "n00000004"},
+                  {"source": "n00000003", "target": "n00000004"}],
+    }
+    p = tmp_path / "graph-wordnet-multi.json"
+    p.write_text(json.dumps(graph))
+    try:
+        install_mini_corpus(mini_corpus_from_graph_json(str(p)))
+        leaf = wnid_to_synset("n00000004")
+        parents = {s.wnid for s in leaf.hypernyms()}
+        assert parents == {"n00000002", "n00000003"}
+    finally:
+        clear_mini_corpus()
+
+
+def test_eval_only_seeds_analyzer_epoch(tiny_trainer):
+    """--eval runs never pass through fit(); evaluate() must seed the
+    analyzer epoch so '{epoch}' output paths don't render as 'None'."""
+    from nbdt_tpu.analysis import SoftEmbeddedDecisionRules
+
+    tr = tiny_trainer(epochs=1)
+    an = SoftEmbeddedDecisionRules(tree=tr.tree)
+    tr.analyzer = an
+    assert an.epoch is None
+    tr.evaluate(0, checkpoint=False)
+    assert an.epoch == 0
