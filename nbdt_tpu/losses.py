@@ -34,18 +34,25 @@ import jax.numpy as jnp
 from .rules import (
     JTreeArrays,
     get_all_node_outputs,
+    get_node_logits,
     masked_log_softmax,
     soft_leaf_log_probs,
     to_device_tree,
 )
 from .tree import Tree
 
-__all__ = names = (
+# CLI-selectable criteria — mirrors the reference registry exactly
+# (reference loss.py:19-24); main.py builds --loss choices from this, and
+# the trainer's step factory accepts exactly these names.
+names = (
     "HardTreeSupLoss",
     "SoftTreeSupLoss",
     "SoftTreeLoss",
-    "SoftSegTreeSupLoss",
     "CrossEntropyLoss",
+)
+
+__all__ = names + (
+    "SoftSegTreeSupLoss",  # library API (seg training lives outside main.py)
     "cross_entropy",
     "soft_rules_distribution",
     "soft_tree_sup_loss",
@@ -98,11 +105,9 @@ def hard_tree_sup_loss(
     see module docstring for the algebraic identity)."""
     B = logits.shape[0]
     N, K, _ = jt.membership.shape
-    nl = jnp.dot(
-        logits.astype(jnp.float32),
-        jt.membership.reshape(N * K, -1).T,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(B, N, K)
+    # the ONE membership matmul (rules.get_node_logits) — its HIGHEST-
+    # precision contract is the decision-path-parity invariant (CLAUDE.md)
+    nl = get_node_logits(logits, jt)
     log_probs, _ = masked_log_softmax(nl, jt.child_mask)
 
     # target_child[n, y_b]: child slot of each sample's class at each node,
@@ -143,11 +148,7 @@ def hard_tree_sup_loss_custom(
 
     B = logits.shape[0]
     N, K, _ = jt.membership.shape
-    nl = jnp.dot(
-        logits.astype(jnp.float32),
-        jt.membership.reshape(N * K, -1).T,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(B, N, K)
+    nl = get_node_logits(logits, jt)  # shared HIGHEST-precision matmul
     tc = jt.target_child[:, targets].T  # [B, N]
     valid = tc >= 0
 

@@ -16,7 +16,9 @@ class TopK:
     def forward(self, outputs, targets) -> float:
         """Accumulate one batch; returns the batch hit count."""
         outputs = np.asarray(outputs)
-        targets = np.asarray(targets)
+        # promote single-sample calls together: a 1-D output's natural
+        # target is a scalar, which targets[:, None] would reject
+        targets = np.atleast_1d(np.asarray(targets))
         if outputs.ndim == 1:
             outputs = outputs[None]
         k = min(self.k, outputs.shape[1])

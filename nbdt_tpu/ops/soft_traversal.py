@@ -254,13 +254,17 @@ def fused_soft_head(
             f"(D={D}, Cp={Cp}, K={K}, cn={cn}); use the jnp rules path "
             "(nbdt_tpu.rules.soft_forward) for this tree."
         )
-    Bp = _round_up(B, min(block_b, _round_up(B, 8)))
-    Bp = _round_up(Bp, 8)
+    # Pad the batch only to the 8-row f32 sublane tile, then pick the batch
+    # tile as the LARGEST divisor of Bp that fits the block budget and is
+    # itself a sublane multiple. The earlier scheme rounded B up to a
+    # multiple of block_b, which nearly doubles the kernel's work for
+    # batches just above a tile multiple (B=520, block_b=512 -> 1024 padded
+    # rows); it also let halving drive tb below 8 for non-power-of-2 tiles.
+    Bp = _round_up(B, 8)
     if Bp != B:
         feats = jnp.pad(feats, ((0, Bp - B), (0, 0)))
-    tb = min(block_b, Bp)
-    while Bp % tb:
-        tb //= 2
+    block_b = max(8, block_b)  # sublane floor (caller may pass smaller)
+    tb = max(d for d in range(8, block_b + 1, 8) if Bp % d == 0)
     grid = (Bp // tb, Np // cn)
 
     if feats.dtype != hc.W.dtype:

@@ -50,6 +50,7 @@ class JTreeArrays(NamedTuple):
     num_classes: int  # static
     max_children: int  # static
     max_depth: int  # static
+    is_multipath: bool = False  # static; DAG graphs use the scan walk
 
 
 def to_device_tree(ta: TreeArrays) -> JTreeArrays:
@@ -66,6 +67,7 @@ def to_device_tree(ta: TreeArrays) -> JTreeArrays:
         num_classes=int(ta.num_classes),
         max_children=int(ta.max_children),
         max_depth=int(ta.max_depth),
+        is_multipath=bool(getattr(ta, "is_multipath", False)),
     )
 
 
@@ -196,7 +198,16 @@ def hard_traverse(node_preds: jnp.ndarray, jt: JTreeArrays) -> jnp.ndarray:
 
     One-hot values survive bf16 truncation exactly and the accumulation is
     f32, so this is exact at default MXU precision.
+
+    The closed form requires each leaf's root path to be UNIQUE: on a
+    multi-path (DAG) graph a multi-parent leaf's `under` slots count
+    across ALL its parents, so count - path_len ties wrong leaves at -1
+    and argmax can pick a leaf the greedy walk never reaches — those
+    graphs dispatch to the literal walk (trace-time branch; jt is a
+    closed-over constant).
     """
+    if getattr(jt, "is_multipath", False):
+        return hard_traverse_scan(node_preds, jt)
     B = node_preds.shape[0]
     N, K, C = jt.under.shape
     u = (jt.under.reshape(N * K, C) > 0).astype(jnp.float32)
@@ -313,9 +324,14 @@ class SoftEmbeddedDecisionRules(EmbeddedDecisionRules):
         self._forward = jax.jit(partial(soft_forward, jt=self.jt))
         self._outputs = jax.jit(partial(soft_outputs, jt=self.jt))
 
-    def forward(self, outputs) -> jnp.ndarray:
-        """Leaf distribution [B, C] (raw path-probability product)."""
-        return self._forward(jnp.asarray(outputs))
+    def forward(self, outputs):
+        """Leaf distribution [B, C] (raw path-probability product), tagged
+        ``_nbdt_output_flag`` like the reference rules (model.py:272) so
+        feeding it back into a tree loss raises — the stateful class API is
+        the host layer; jitted pipelines use the pure ``soft_forward``."""
+        from .model import TaggedOutput
+
+        return TaggedOutput(np.asarray(self._forward(jnp.asarray(outputs))))
 
     def forward_with_decisions(self, outputs):
         """Returns (class_probs, decisions). Each decision is the list of
@@ -324,8 +340,10 @@ class SoftEmbeddedDecisionRules(EmbeddedDecisionRules):
         Unlike the reference (model.py:259 reads sample 0's probs for every
         sample), probabilities here are per-sample.
         """
+        from .model import TaggedOutput
+
         outs = self._outputs(jnp.asarray(outputs))
-        class_probs = outs["class_probs"]
+        class_probs = TaggedOutput(np.asarray(outs["class_probs"]))
         preds = np.asarray(outs["preds"])
         node_probs = np.asarray(outs["node_probs"])
         node_ent = np.asarray(outs["node_entropy"])
@@ -359,9 +377,12 @@ class HardEmbeddedDecisionRules(EmbeddedDecisionRules):
         self._forward = jax.jit(partial(hard_forward, jt=self.jt))
         self._outputs = jax.jit(partial(hard_outputs, jt=self.jt))
 
-    def forward(self, outputs) -> jnp.ndarray:
-        """One-hot logits [B, C] of the greedy root->leaf walk."""
-        return self._forward(jnp.asarray(outputs))
+    def forward(self, outputs):
+        """One-hot logits [B, C] of the greedy root->leaf walk, tagged
+        ``_nbdt_output_flag`` (reference model.py:198)."""
+        from .model import TaggedOutput
+
+        return TaggedOutput(np.asarray(self._forward(jnp.asarray(outputs))))
 
     def forward_with_decisions(self, outputs):
         outs = self._outputs(jnp.asarray(outputs))
@@ -393,4 +414,6 @@ class HardEmbeddedDecisionRules(EmbeddedDecisionRules):
                     }
                 )
             decisions.append(decision)
-        return outs["logits"], decisions
+        from .model import TaggedOutput
+
+        return TaggedOutput(np.asarray(outs["logits"])), decisions

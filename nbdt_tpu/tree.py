@@ -343,6 +343,10 @@ class TreeArrays:
 
     wnids_inodes: tuple = field(default=())  # wnid per inode row
     wnids_leaves: tuple = field(default=())
+    # True when any graph node has multiple parents (--multi-path wordnet
+    # DAGs): hard_traverse's closed form assumes each leaf has a UNIQUE
+    # root path and must fall back to the literal greedy walk.
+    is_multipath: bool = field(default=False)
 
     @staticmethod
     def compile(tree: Tree) -> "TreeArrays":
@@ -380,7 +384,19 @@ class TreeArrays:
                     if child_wnid in wnid_to_inode:
                         child_next[i, k] = wnid_to_inode[child_wnid]
                     else:
-                        child_next[i, k] = N + tree.wnid_to_class_index[child_wnid]
+                        ci = tree.wnid_to_class_index.get(child_wnid)
+                        if ci is None:
+                            raise ValueError(
+                                f"Graph leaf {child_wnid!r} is not in the "
+                                f"class wnid list ({C} classes). Host-side "
+                                "Tree tooling tolerates extra graph leaves "
+                                "(Node.build_class_mappings skips them), "
+                                "but the device arrays cannot represent a "
+                                "leaf with no class — regenerate the "
+                                "hierarchy for this class list or pass "
+                                "matching wnids."
+                            )
+                        child_next[i, k] = N + ci
 
         # Per-leaf paths. leaf_to_path includes the root and the leaf; the
         # inner-node steps are all entries except the final leaf.
@@ -417,6 +433,9 @@ class TreeArrays:
             leaf_depth=leaf_depth,
             wnids_inodes=tuple(n.wnid for n in inodes),
             wnids_leaves=tuple(tree.wnids_leaves),
+            is_multipath=any(
+                len(tree.G.pred(n)) > 1 for n in tree.G.nodes
+            ),
         )
 
 

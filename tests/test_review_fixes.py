@@ -307,3 +307,147 @@ def test_eval_only_seeds_analyzer_epoch(tiny_trainer):
     assert an.epoch is None
     tr.evaluate(0, checkpoint=False)
     assert an.epoch == 0
+
+
+def _multipath_tree():
+    from nbdt_tpu.hierarchy.digraph import Digraph
+    from nbdt_tpu.tree import Tree
+
+    G = Digraph()
+    # root -> {A, B}; A -> {l0, l1}; B -> {l1, l2}: l1 has two parents
+    for wnid, label in [("f00000000", "root"), ("f00000001", "A"),
+                        ("f00000002", "B"), ("f00000003", "l0"),
+                        ("f00000004", "l1"), ("f00000005", "l2")]:
+        G.add_node(wnid, label=label)
+    for u, v in [("f00000000", "f00000001"), ("f00000000", "f00000002"),
+                 ("f00000001", "f00000003"), ("f00000001", "f00000004"),
+                 ("f00000002", "f00000004"), ("f00000002", "f00000005")]:
+        G.add_edge(u, v)
+    leaves = ["f00000003", "f00000004", "f00000005"]
+    return Tree.from_graph(G, leaves, classes=["l0", "l1", "l2"])
+
+
+def test_hard_traverse_multipath_matches_greedy_walk():
+    """On a multi-path (DAG) hierarchy the closed-form hard traverse must
+    agree with the literal greedy walk — the closed form's unique-path
+    invariant breaks for multi-parent leaves (path_len counts slots on
+    BOTH parents), so such trees dispatch to the scan walk."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.rules import (
+        get_all_node_outputs,
+        hard_forward,
+        hard_traverse,
+        hard_traverse_scan,
+        to_device_tree,
+    )
+
+    tree = _multipath_tree()
+    assert tree.arrays.is_multipath
+    jt = to_device_tree(tree.arrays)
+    logits = jnp.asarray(
+        np.random.RandomState(0).randn(64, 3).astype(np.float32)
+    )
+    outs = get_all_node_outputs(logits, jt)
+    closed = np.asarray(hard_traverse(outs.preds, jt))
+    scan = np.asarray(hard_traverse_scan(outs.preds, jt))
+    np.testing.assert_array_equal(closed, scan)
+    # and the one-hot forward agrees with the walk's leaf
+    oh = np.asarray(hard_forward(logits, jt))
+    np.testing.assert_array_equal(oh.argmax(-1), scan)
+
+
+def test_hard_rules_decisions_consistent_on_multipath():
+    """HardEmbeddedDecisionRules on a DAG: the returned logits' argmax must
+    be the SAME leaf the decision path walks to."""
+    from nbdt_tpu.rules import HardEmbeddedDecisionRules
+
+    tree = _multipath_tree()
+    rules = HardEmbeddedDecisionRules(tree=tree)
+    logits = np.random.RandomState(1).randn(32, 3).astype(np.float32)
+    out, decisions = rules.forward_with_decisions(logits)
+    preds = np.asarray(out).argmax(-1)
+    for b, decision in enumerate(decisions):
+        walked = decision[-1]["node"].wnid
+        assert tree.wnids_leaves[preds[b]] == walked, b
+
+
+def test_tree_arrays_unknown_leaf_raises_clearly():
+    """A graph leaf absent from the class wnid list is tolerated by the
+    host Tree but cannot be represented by the device arrays — compiling
+    must raise a descriptive error, not KeyError."""
+    from nbdt_tpu.hierarchy.digraph import Digraph
+    from nbdt_tpu.tree import Tree
+
+    G = Digraph()
+    for wnid in ("f00000000", "f00000001", "f00000002", "f00000009"):
+        G.add_node(wnid, label=wnid)
+    G.add_edge("f00000000", "f00000001")
+    G.add_edge("f00000000", "f00000002")
+    G.add_edge("f00000000", "f00000009")  # extra leaf, not a class
+    tree = Tree.from_graph(G, ["f00000001", "f00000002"], classes=["a", "b"])
+    with pytest.raises(ValueError, match="not in the class wnid list"):
+        tree.arrays
+
+
+def test_rules_outputs_are_tagged():
+    """Rules-level forward outputs carry _nbdt_output_flag like the
+    reference (model.py:198, 272), so the tree-loss guard fires for
+    direct rules usage too."""
+    from nbdt_tpu.losses import assert_output_not_nbdt
+    from nbdt_tpu.rules import (
+        HardEmbeddedDecisionRules,
+        SoftEmbeddedDecisionRules,
+    )
+
+    tree = _multipath_tree()
+    logits = np.random.RandomState(2).randn(4, 3).astype(np.float32)
+    for Rules in (SoftEmbeddedDecisionRules, HardEmbeddedDecisionRules):
+        out = Rules(tree=tree)(logits)
+        with pytest.raises(AssertionError):
+            assert_output_not_nbdt(out)
+
+
+def test_topk_scalar_target():
+    """Single-sample convenience: 1-D outputs with a scalar target."""
+    from nbdt_tpu.metrics import top1
+
+    m = top1()
+    assert m(np.array([0.1, 0.9, 0.0]), 1) == 1
+    assert m(np.array([0.1, 0.9, 0.0]), np.int64(2)) == 0
+    assert m.correct == 1 and m.total == 2
+
+
+def test_loss_cli_names_match_reference_registry():
+    """--loss choices mirror the reference registry exactly (loss.py:19-24)
+    — lowercase helper fns leaking in crashed the trainer post-setup."""
+    from nbdt_tpu import losses
+
+    assert set(losses.names) == {
+        "HardTreeSupLoss", "SoftTreeSupLoss", "SoftTreeLoss",
+        "CrossEntropyLoss",
+    }
+
+
+def test_fused_head_odd_batch_no_overpad():
+    """Batches just above a tile multiple must pad only to the sublane
+    tile, not to the next block_b multiple (B=40/block 32 previously
+    computed 64 rows)."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.ops.soft_traversal import fused_soft_head, prepare_head_constants
+    from nbdt_tpu.rules import soft_forward, to_device_tree
+
+    tree = _multipath_tree()
+    jt = to_device_tree(tree.arrays)
+    rng = np.random.RandomState(3)
+    kernel = rng.randn(8, 3).astype(np.float32)
+    bias = rng.randn(3).astype(np.float32)
+    hc = prepare_head_constants(tree.arrays, kernel, bias)
+    feats = rng.randn(40, 8).astype(np.float32)
+    (leaf,) = fused_soft_head(jnp.asarray(feats), hc, block_b=32,
+                              want_aux=False, interpret=True)
+    ref = soft_forward(jnp.asarray(feats @ kernel + bias), jt)
+    # the kernel emits leaf LOG-probs; soft_forward returns the raw product
+    np.testing.assert_allclose(np.exp(np.asarray(leaf)[:, :3]),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
