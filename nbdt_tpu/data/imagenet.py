@@ -88,19 +88,9 @@ class TinyImagenet200(ArrayDataset):
         with zipfile.ZipFile(archive) as zf:
             zf.extractall(root)
 
-    @classmethod
-    def transform_train(cls, seed: int = 0, device_normalize: bool = False):
-        return make_train_transform(cls.mean, cls.std, crop_pad=4, seed=seed,
-                                    device_normalize=device_normalize)
-
-    @classmethod
-    def transform_val(cls, device_normalize: bool = False):
-        return make_val_transform(cls.mean, cls.std,
-                                  device_normalize=device_normalize)
-
-    @classmethod
-    def transform_val_inverse(cls):
-        return InverseNormalize(cls.mean, cls.std)
+    # transform_train/transform_val/transform_val_inverse are inherited
+    # from ArrayDataset (cifar.py): the classmethods resolve cls.mean/std
+    # to THIS class's constants, same crop_pad=4 recipe.
 
 
 class Imagenet1000:

@@ -127,12 +127,23 @@ def make_train_transform(mean, std, crop_pad: int = 4, hflip: bool = True,
 
 def augment_uint8(batch_u8, pad, ys, xs, flips) -> np.ndarray:
     """pad+crop+flip in uint8 (no normalize) — the device-normalize twin of
-    :func:`apply_augment_numpy`, identical offsets/flips semantics."""
+    :func:`apply_augment_numpy`, identical offsets/flips semantics.
+
+    Vectorized by (y, x)-offset groups like :func:`random_crop`: at most
+    (2*pad+1)^2 bulk slices instead of a per-image Python loop — this IS
+    the hot host path of ``--device-normalize`` training (the native
+    kernel only serves the fused normalize variant)."""
     n, h, w, c = batch_u8.shape
     padded = np.pad(batch_u8, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     out = np.empty((n, h, w, c), dtype=np.uint8)
-    for i in range(n):
-        out[i] = padded[i, ys[i] : ys[i] + h, xs[i] : xs[i] + w]
+    for yo in np.unique(ys):
+        sel = ys == yo
+        rows = padded[sel, yo : yo + h]
+        xoff = xs[sel]
+        for xo in np.unique(xoff):
+            sub = xoff == xo
+            idx = np.flatnonzero(sel)[sub]
+            out[idx] = rows[sub][:, :, xo : xo + w]
     fl = flips.astype(bool)
     out[fl] = out[fl, :, ::-1]
     return out

@@ -138,14 +138,14 @@ def get_parser() -> argparse.ArgumentParser:
 
 def build_datasets(args):
     from .data import SyntheticDataset, get_dataset, wrap_dataset
-    from .utils import DATASET_TO_NUM_CLASSES
+    from .utils import DATASET_TO_NUM_CLASSES, default_image_size
 
     if args.synthetic:
         n = DATASET_TO_NUM_CLASSES[args.dataset]
         n_test = DATASET_TO_NUM_CLASSES.get(
             args.dataset_test or args.dataset, n
         )
-        size = 64 if args.dataset == "TinyImagenet200" else 32
+        size = default_image_size(args.dataset)
         trainset = SyntheticDataset(n, size=4 * args.batch_size, image_size=size)
         testset = SyntheticDataset(n_test, size=2 * args.batch_size,
                                    image_size=size, seed=1)
@@ -162,6 +162,18 @@ def build_datasets(args):
         include_classes=args.include_classes,
         probability_labels=args.probability_labels,
     )
+    # The reference's wrapper DATASET CLASSES (--dataset CIFAR10IncludeLabels)
+    # filter BOTH splits; an unwrapped test set would report accuracy over
+    # the full label space while training on the subset. An explicit
+    # --dataset-test names its own test distribution and stays unwrapped
+    # (resampling is a train-only augmentation either way).
+    if not args.dataset_test:
+        testset = wrap_dataset(
+            testset,
+            include_labels=args.include_labels,
+            exclude_labels=args.exclude_labels,
+            include_classes=args.include_classes,
+        )
     # Zero-shot guard (reference main.py:131): a test set with a different
     # label space is only allowed when the standard eval is disabled (an
     # analyzer like Superclass then defines the metric).
@@ -182,6 +194,8 @@ def build_analyzer(args, tree, testset):
 
     cls = getattr(analysis, args.analysis)
     kwargs = {}
+    if issubclass(cls, analysis.ScoreSave):
+        kwargs["save_k"] = args.save_k  # --save-k (reference --save-k flow)
     # Every rules-driven analyzer (DecisionRules family, the NBDT-entropy
     # scorers, hierarchy-inference visualizer) takes the live tree.
     if "tree" in inspect.signature(cls.__init__).parameters:
@@ -236,12 +250,17 @@ def main(argv=None):
     from .models import init_model
     from .tree import Tree
     from .trainer import TrainConfig, Trainer
-    from .utils import Colors, DATASET_TO_NUM_CLASSES, hierarchy_to_path_graph
+    from .utils import (
+        Colors,
+        DATASET_TO_NUM_CLASSES,
+        default_image_size,
+        hierarchy_to_path_graph,
+    )
 
     trainset, testset = build_datasets(args)
     num_classes = len(trainset.classes)
 
-    image = 64 if args.dataset == "TinyImagenet200" else 32
+    image = default_image_size(args.dataset)
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -312,6 +331,9 @@ def main(argv=None):
         cache_dataset=args.cache_dataset,
         cache_crop_pad=args.cache_crop_pad,
         cache_flip=not args.no_cache_flip,
+        include_labels=tuple(args.include_labels or ()),
+        exclude_labels=tuple(args.exclude_labels or ()),
+        include_classes=tuple(args.include_classes or ()),
         name=args.name,
         metric=args.metric,
         disable_test_eval=args.disable_test_eval,
@@ -333,8 +355,10 @@ def main(argv=None):
         for ds_obj, which in ((trainset, args.dataset),
                               (testset, args.dataset_test or args.dataset)):
             if not (hasattr(ds_obj, "mean") and hasattr(ds_obj, "std")):
-                parser.error(f"--device-normalize: {which} exposes no "
-                             "mean/std normalization constants")
+                raise SystemExit(
+                    f"error: --device-normalize: {which} exposes no "
+                    "mean/std normalization constants"
+                )
         device_normalize = (trainset.mean, trainset.std)
         # The test set normalizes with ITS OWN constants (matches the host
         # transform_val path — they differ in zero-shot --dataset-test runs).
@@ -372,7 +396,7 @@ def main(argv=None):
         mesh = make_mesh()
         Colors.cyan(f"==> dp mesh over {mesh.devices.size} devices")
     if args.zero and mesh is None:
-        parser.error("--zero requires --mesh")
+        raise SystemExit("error: --zero requires --mesh")
     trainer = Trainer(
         config, module, variables, trainloader, testloader, tree=tree,
         analyzer=analyzer, show_progress=not args.no_progress, mesh=mesh,

@@ -65,6 +65,12 @@ class TrainConfig:
     # per-step host->device traffic drops to scalars, so low-bandwidth
     # transports train at the device step rate (CIFAR10 = 150 MB resident).
     cache_dataset: bool = False
+    # Label-subset flags, recorded so the checkpoint fname codec encodes
+    # them (reference utils.py:268-335) — without them a subset run and a
+    # full-dataset run collide on the same checkpoint path.
+    include_labels: tuple = ()
+    exclude_labels: tuple = ()
+    include_classes: tuple = ()
     cache_crop_pad: int = 4  # RandomCrop padding of the in-jit augment
     cache_flip: bool = True  # RandomHorizontalFlip of the in-jit augment
     # Optimizer steps per dispatch in cached mode (lax.scan): amortizes the
@@ -608,7 +614,23 @@ class Trainer:
             device_normalize_eval if device_normalize_eval is not None
             else device_normalize
         )
-        self.optimizer = make_optimizer(config, len(trainloader))
+        # Cache eligibility up-front (the cached branch below reuses it):
+        # plain DecisionRules analyzers score on device (analysis.
+        # device_eval), anything with custom host behavior forces the host
+        # loader path.
+        self._use_cache = config.cache_dataset and (
+            analyzer is None or (hasattr(analyzer, "device_eval")
+                                 and analyzer.device_eval() is not None)
+        )
+        # LR milestones must count the steps that actually run: the cached
+        # epoch executes floor(n/B) whole batches (no partial tail), while
+        # len(loader) counts ceil — one mismatched step per epoch drifts
+        # the MultiStepLR boundaries and the resume fast-forward.
+        self._steps_per_epoch = max(1, len(trainloader))
+        if self._use_cache:
+            n_train = len(_unwrap_loader(trainloader).dataset)
+            self._steps_per_epoch = max(1, n_train // config.batch_size)
+        self.optimizer = make_optimizer(config, self._steps_per_epoch)
         self.opt_state = self.optimizer.init(self.params)
         self._opt_sharding = None
         self._param_sharding = None
@@ -634,18 +656,10 @@ class Trainer:
         self._cached_train = None
         self._cached_test = None
         self._cached_n = 0
+        self._store_normalize = None
+        self._store_normalize_eval = None
         if config.cache_dataset:
-            # Plain DecisionRules analyzers score on device inside the same
-            # jitted eval count step (analysis.device_eval) and reset their
-            # metric at start_test, so caching preserves their reported
-            # number; only analyzers with custom per-batch host behavior
-            # (Superclass mapping, ScoreSave image capture) force the host
-            # loader path.
-            analyzer_ok = analyzer is None or (
-                hasattr(analyzer, "device_eval")
-                and analyzer.device_eval() is not None
-            )
-            if not analyzer_ok:
+            if not self._use_cache:
                 Colors.red(
                     "==> cache_dataset disabled: analyzer "
                     f"{type(analyzer).__name__} needs per-batch host "
@@ -659,11 +673,25 @@ class Trainer:
                         "analyzer updates (display only) are skipped"
                     )
                 images, labels = self._materialize_uint8(trainloader)
-                if self.device_normalize is None:
+                # Normalize constants for the RESIDENT uint8 stores ONLY.
+                # When device_normalize is unset the HOST loaders already
+                # normalize, so writing derived constants back into
+                # device_normalize_eval would double-normalize the host
+                # eval path (eval_step) that analyzer/disable_test_eval
+                # runs still use.
+                if self.device_normalize is not None:
+                    self._store_normalize = self.device_normalize
+                else:
                     ds = _unwrap_loader(trainloader).dataset
-                    self.device_normalize = (ds.mean, ds.std)
-                if self.device_normalize_eval is None:
-                    self.device_normalize_eval = self.device_normalize
+                    self._store_normalize = (ds.mean, ds.std)
+                if self.device_normalize_eval is not None:
+                    self._store_normalize_eval = self.device_normalize_eval
+                else:
+                    tds = _unwrap_loader(testloader).dataset
+                    self._store_normalize_eval = (
+                        (tds.mean, tds.std) if hasattr(tds, "mean")
+                        else self._store_normalize
+                    )
                 # One upload; replicated on a mesh. The arrays are then
                 # passed BY REFERENCE into every step (never as jit
                 # constants — see make_train_step).
@@ -727,7 +755,7 @@ class Trainer:
                 criterion_fn=self.criterion_fn, pre_start=self._pre_start,
                 opt_sharding=self._opt_sharding,
                 param_sharding=self._param_sharding,
-                normalize=self.device_normalize,
+                normalize=self._store_normalize,
                 cached=True, batch_size=self.config.batch_size,
                 crop_pad=self.config.cache_crop_pad,
                 flip=self.config.cache_flip,
@@ -865,9 +893,15 @@ class Trainer:
             logits = m.pop("logits")
             last = m
             if self.analyzer is not None:
+                from .parallel import local_data
+
                 imgs = self._analyzer_images(x)
-                self.analyzer.update_batch(np.asarray(logits), np.asarray(y),
-                                           imgs)
+                # multi-host: the logits are globally sharded and not fully
+                # addressable (np.asarray would raise); this host's rows
+                # pair with its local x/y slice. Single-process this is
+                # just np.asarray.
+                self.analyzer.update_batch(local_data(logits),
+                                           np.asarray(y), imgs)
             if self.show_progress:
                 from .utils import progress_bar
 
@@ -1004,7 +1038,7 @@ class Trainer:
                     self._ccount_key = ckey
                     self._ccount_step = make_cached_eval_count_step(
                         self.module, metric.k, self.config.batch_size, nb,
-                        normalize=self.device_normalize_eval,
+                        normalize=self._store_normalize_eval,
                         analyzer_fwd=analyzer_dev[0] if analyzer_dev
                         else None,
                         analyzer_k=analyzer_dev[1] if analyzer_dev else 1,
@@ -1128,6 +1162,9 @@ class Trainer:
             xent_weight=c.xent_weight,
             xent_weight_end=c.xent_weight_end,
             xent_weight_power=c.xent_weight_power,
+            include_labels=tuple(c.include_labels or ()),
+            exclude_labels=tuple(c.exclude_labels or ()),
+            include_classes=tuple(c.include_classes or ()),
         )
 
     def save(self, epoch: int, acc: float, suffix: str = "") -> str:
@@ -1213,5 +1250,5 @@ class Trainer:
         # resumed past the 3/7E / 5/7E milestones would train at the initial
         # LR (up to 100x too hot for a converged model).
         self.opt_state = _fast_forward_schedule(
-            self.opt_state, self.start_epoch * max(1, len(self.trainloader))
+            self.opt_state, self.start_epoch * self._steps_per_epoch
         )

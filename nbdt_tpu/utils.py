@@ -41,6 +41,12 @@ DATASET_TO_NUM_CLASSES = {
     "ADE20K": 150,
 }
 
+
+def default_image_size(dataset: str) -> int:
+    """Input resolution per classification dataset (reference transforms:
+    cifar.py 32px crops, imagenet.py 64px Tiny / 224px Imagenet1000)."""
+    return {"TinyImagenet200": 64, "Imagenet1000": 224}.get(dataset, 32)
+
 DATASET_TO_CLASSES = {
     "CIFAR10": [
         "airplane",

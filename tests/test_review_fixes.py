@@ -451,3 +451,138 @@ def test_fused_head_odd_batch_no_overpad():
     # the kernel emits leaf LOG-probs; soft_forward returns the raw product
     np.testing.assert_allclose(np.exp(np.asarray(leaf)[:, :3]),
                                np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_cli_subset_wraps_test_split_too():
+    """--include-labels must filter BOTH splits like the reference's
+    wrapper dataset classes (--dataset CIFAR10IncludeLabels instantiates
+    train and test): an unwrapped test set reports accuracy over the full
+    label space while training on the subset."""
+    import argparse
+
+    from nbdt_tpu.main import build_datasets, get_parser
+
+    args = get_parser().parse_args([
+        "--dataset", "CIFAR10", "--synthetic", "--include-labels", "0", "1",
+        "--batch-size", "8",
+    ])
+    trainset, testset = build_datasets(args)
+    train_labels = {trainset[i][1] for i in range(len(trainset))}
+    test_labels = {testset[i][1] for i in range(len(testset))}
+    assert train_labels <= {0, 1}
+    assert test_labels <= {0, 1}
+
+
+def test_cached_lr_schedule_counts_actual_steps(synthetic_tree, tmp_path):
+    """Cached mode runs floor(n/B) steps per epoch; the LR milestones and
+    resume fast-forward must count those, not len(loader)=ceil."""
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    ds = SyntheticDataset(num_classes=7, size=20, image_size=16)
+    tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train(),
+                    drop_last=False, pad_last=True)
+    vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
+                    pad_last=True)
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=2, loss="SoftTreeSupLoss", lr=0.1,
+                      checkpoint_dir=str(tmp_path), cache_dataset=True)
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    assert len(tl) == 3 and tr._steps_per_epoch == 2  # 20 // 8
+    tr.train_epoch(0)
+    assert _schedule_count(tr.opt_state) == 2
+
+
+def test_cached_mode_keeps_host_eval_normalize_none(synthetic_tree,
+                                                    tmp_path):
+    """cache_dataset with HOST-normalizing loaders: the store constants go
+    to _store_normalize(_eval) only — writing them into
+    device_normalize_eval double-normalized the host eval path that
+    disable_test_eval/custom-analyzer runs still use."""
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    ds = SyntheticDataset(num_classes=7, size=32, image_size=16)
+    tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train())
+    vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
+                    pad_last=True)
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=1, loss="SoftTreeSupLoss",
+                      checkpoint_dir=str(tmp_path), cache_dataset=True)
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    assert tr.device_normalize is None and tr.device_normalize_eval is None
+    assert tr._store_normalize is not None
+    assert tr._store_normalize_eval is not None
+
+
+def test_checkpoint_fname_encodes_label_subset(synthetic_tree, tmp_path):
+    """A subset run must not collide with the full run's checkpoint path
+    (reference generate_checkpoint_fname encodes include/exclude flags)."""
+    from nbdt_tpu.trainer import TrainConfig
+
+    import dataclasses
+
+    from nbdt_tpu.utils import generate_checkpoint_fname
+
+    base = dict(dataset="CIFAR10", arch="ResNet10", path_graph=None,
+                loss=["SoftTreeSupLoss"])
+    full = generate_checkpoint_fname(**base)
+    subset = generate_checkpoint_fname(**base, include_labels=(0, 1))
+    assert full != subset
+
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10",
+                      include_labels=(0, 1))
+    cfg2 = dataclasses.replace(cfg, include_labels=())
+    from nbdt_tpu.trainer import Trainer
+
+    # config-level: the two fnames must differ
+    assert Trainer.checkpoint_fname(
+        type("T", (), {"config": cfg})()
+    ) != Trainer.checkpoint_fname(type("T", (), {"config": cfg2})())
+
+
+def test_save_k_reaches_scoresave():
+    """--save-k must reach the ScoreSave analyzer family (it was parsed
+    and silently dropped)."""
+    from nbdt_tpu.main import build_analyzer, get_parser
+    from nbdt_tpu.tree import Tree
+    from nbdt_tpu.hierarchy.digraph import Digraph
+
+    args = get_parser().parse_args([
+        "--analysis", "TopEntropy", "--save-k", "7",
+    ])
+    tree = _multipath_tree()
+    an = build_analyzer(args, tree, type("DS", (), {"classes": ["a"]})())
+    assert an.k == 7
+
+
+def test_default_image_size_mapping():
+    from nbdt_tpu.utils import default_image_size
+
+    assert default_image_size("CIFAR10") == 32
+    assert default_image_size("TinyImagenet200") == 64
+    assert default_image_size("Imagenet1000") == 224
+
+
+def test_augment_uint8_grouped_matches_per_image():
+    """The grouped-slice vectorization must reproduce the per-image
+    crop+flip exactly."""
+    from nbdt_tpu.data.transforms import augment_uint8
+
+    rng = np.random.RandomState(0)
+    batch = rng.randint(0, 256, (37, 16, 16, 3), np.uint8)
+    pad = 3
+    ys = rng.randint(0, 2 * pad + 1, 37).astype(np.int32)
+    xs = rng.randint(0, 2 * pad + 1, 37).astype(np.int32)
+    flips = (rng.rand(37) < 0.5).astype(np.uint8)
+    out = augment_uint8(batch, pad, ys, xs, flips)
+    padded = np.pad(batch, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    for i in range(37):
+        ref = padded[i, ys[i]:ys[i] + 16, xs[i]:xs[i] + 16]
+        if flips[i]:
+            ref = ref[:, ::-1]
+        np.testing.assert_array_equal(out[i], ref, err_msg=str(i))
