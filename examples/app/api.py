@@ -25,11 +25,23 @@ import numpy as np
 
 def build_model(args):
     from nbdt_tpu.model import HardNBDT, SoftNBDT
-    from nbdt_tpu.models import get_model
-    from nbdt_tpu.utils import DATASET_TO_NUM_CLASSES
+    from nbdt_tpu.models import get_model, init_model
+    from nbdt_tpu.utils import DATASET_TO_NUM_CLASSES, default_image_size
 
-    module = get_model(args.arch, DATASET_TO_NUM_CLASSES[args.dataset])
+    num_classes = DATASET_TO_NUM_CLASSES[args.dataset]
     cls = HardNBDT if args.hard else SoftNBDT
+    if args.checkpoint is None and args.random_init:
+        # offline fallback (zero-egress environments): random weights,
+        # hierarchy induced from them — same flow as `nbdt --random-init`
+        size = default_image_size(args.dataset)
+        module, variables = init_model(args.arch, num_classes,
+                                       (size, size, 3))
+        return cls(
+            dataset=args.dataset, model=module, arch=args.arch,
+            hierarchy=args.hierarchy, path_graph=args.path_graph,
+            params=variables, fold_bn=getattr(args, "fold_bn", False),
+        )
+    module = get_model(args.arch, num_classes)
     return cls(
         dataset=args.dataset,
         model=module,
@@ -102,8 +114,19 @@ def main(argv=None):
     parser.add_argument("--fold-bn", action="store_true",
                         help="serve the BN-folded forward (ResNet family; "
                              "same predictions, fewer ops)")
+    parser.add_argument("--random-init", action="store_true",
+                        help="serve random weights with a hierarchy induced "
+                             "from them (offline demo — no checkpoint, no "
+                             "download)")
     args = parser.parse_args(argv)
+    if args.checkpoint is None and not args.random_init:
+        parser.error("no --checkpoint given; pass one, or --random-init "
+                     "for an offline demo (this environment has no "
+                     "network egress to download released weights)")
 
+    from nbdt_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # repeated restarts skip backbone compiles
     model = build_model(args)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(model))
     print(f"Serving NBDT on :{args.port}")

@@ -45,7 +45,13 @@ def build_lr_schedule(opt_cfg: dict, steps_per_epoch: int, epochs: int):
     total = max(1, epochs * steps_per_epoch)
     warmup_steps = max(1, int(total * warmup_frac))
     warmup = optax.linear_schedule(start, peak, warmup_steps)
-    boundaries = [m * steps_per_epoch for m in milestones]
+    # join_schedules REBASES the second schedule's step count to zero at
+    # the boundary, so milestone boundaries must be expressed relative to
+    # the end of warmup — absolute steps would fire each decay
+    # warmup_steps (~5 epochs) late vs the reference's global-epoch
+    # milestones (ClassyVision composite 'fixed' interval scaling).
+    boundaries = [max(1, m * steps_per_epoch - warmup_steps)
+                  for m in milestones]
     multistep = optax.piecewise_constant_schedule(
         values[0],
         {b: values[i + 1] / values[i] for i, b in enumerate(boundaries)},
@@ -74,9 +80,10 @@ def main(argv=None):
     parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args(argv)
 
-    from nbdt_tpu.utils import maybe_set_platform
+    from nbdt_tpu.utils import enable_compilation_cache, maybe_set_platform
 
     maybe_set_platform(args.platform)
+    enable_compilation_cache()
     if args.multihost:
         from nbdt_tpu.parallel import initialize_multihost
 

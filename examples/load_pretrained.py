@@ -42,6 +42,9 @@ def main(argv=None):
     )
 
     maybe_set_platform(args.platform)
+    from nbdt_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from nbdt_tpu.data.transforms import CIFAR_MEAN, CIFAR_STD
     from nbdt_tpu.model import SoftNBDT
@@ -50,26 +53,13 @@ def main(argv=None):
     num_classes = DATASET_TO_NUM_CLASSES[args.dataset]
     module, variables = init_model(args.arch, num_classes, (32, 32, 3))
 
-    # Packaged induced graph if present; else induce one from the live
-    # classifier weights (the offline path — no assets, no downloads).
-    from nbdt_tpu.utils import hierarchy_to_path_graph
-
+    # Hierarchy resolution is left entirely to NBDT: it uses the packaged
+    # induced graph when present, and otherwise induces one from the
+    # LOADED checkpoint's classifier weights (model.py handles the
+    # FileNotFoundError fallback). Pre-building a tree here from the
+    # random init_model weights would pair a garbage hierarchy with real
+    # checkpoint params whenever --checkpoint is given.
     tree = None
-    if not os.path.exists(hierarchy_to_path_graph(args.dataset,
-                                                  f"induced-{args.arch}")):
-        from nbdt_tpu.assets import get_dataset_wnids
-        from nbdt_tpu.hierarchy.build import build_induced_graph
-        from nbdt_tpu.hierarchy.generate import get_centers_from_flax_params
-        from nbdt_tpu.tree import Tree
-
-        wnids = get_dataset_wnids(args.dataset)
-        centers = get_centers_from_flax_params(variables["params"])
-        tree = Tree.from_graph(
-            build_induced_graph(wnids, centers), wnids,
-            classes=DATASET_TO_CLASSES.get(
-                args.dataset, [f"class{i}" for i in range(num_classes)]
-            ),
-        )
 
     model = SoftNBDT(
         dataset=args.dataset,

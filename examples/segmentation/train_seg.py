@@ -40,9 +40,10 @@ def main(argv=None):
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = parser.parse_args(argv)
 
-    from nbdt_tpu.utils import maybe_set_platform
+    from nbdt_tpu.utils import enable_compilation_cache, maybe_set_platform
 
     maybe_set_platform(args.platform)
+    enable_compilation_cache()
 
     import flax.linen as nn
     import jax

@@ -198,6 +198,12 @@ def make_eval_fn(module, variables):
     """Jitted eval-mode forward: x -> logits."""
     import functools
 
+    # Pin the closure to DEVICE arrays: callers often hand over host numpy
+    # (checkpoint conversions), which would lower as inline HLO constants —
+    # the recorded 150MB-literal compile stall (CLAUDE.md) — and re-upload
+    # weights per call. Same fix as serving.make_serving_fn.
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
     @functools.partial(jax.jit)
     def forward(x):
         return module.apply(variables, x, train=False)

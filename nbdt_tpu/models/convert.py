@@ -834,6 +834,13 @@ def _enumerate_torch_keys(params, stats, arch):
                 for part in ("weight", "bias", "running_mean", "running_var"):
                     keys.append(f"features.post_activ.bn.{part}")
     else:
+        # ResNet family. The mapper accepts BOTH key grammars, but exports
+        # must emit the grammar the target framework loads: the reference's
+        # CIFAR ResNets (capitalized archs) use linear./shortcut.N., while
+        # torchvision's lowercase resnet/resnext/wide use fc./downsample.N.
+        tv = arch[:1].islower()
+        head = "fc" if tv else "linear"
+        short = "downsample" if tv else "shortcut"
         for name in params:
             if name == "conv1":
                 keys.append("conv1.weight")
@@ -841,7 +848,7 @@ def _enumerate_torch_keys(params, stats, arch):
                 for part in ("weight", "bias", "running_mean", "running_var"):
                     keys.append(f"bn1.{part}")
             elif name == "linear":
-                keys += ["linear.weight", "linear.bias"]
+                keys += [f"{head}.weight", f"{head}.bias"]
             elif name.startswith("layer"):
                 stage, idx = name.replace("layer", "").split("_")
                 base = f"layer{stage}.{idx}"
@@ -849,10 +856,10 @@ def _enumerate_torch_keys(params, stats, arch):
                     if sub.startswith("conv"):
                         keys.append(f"{base}.{sub}.weight")
                     elif sub == "shortcut_conv":
-                        keys.append(f"{base}.shortcut.0.weight")
+                        keys.append(f"{base}.{short}.0.weight")
                     elif sub == "shortcut_bn":
                         for part in ("weight", "bias", "running_mean", "running_var"):
-                            keys.append(f"{base}.shortcut.1.{part}")
+                            keys.append(f"{base}.{short}.1.{part}")
                     elif sub.startswith("bn"):
                         for part in ("weight", "bias", "running_mean", "running_var"):
                             keys.append(f"{base}.{sub}.{part}")

@@ -189,7 +189,6 @@ class ResNet(nn.Module):
                 out = norm(name="bn1")(out)
             out = nn.relu(out)
 
-        in_planes = 64
         for stage, (planes, blocks, stride) in enumerate(
             zip((64, 128, 256, 512), self.num_blocks, (1, 2, 2, 2)), start=1
         ):
@@ -210,7 +209,6 @@ class ResNet(nn.Module):
                     name=f"layer{stage}_{i}",
                     **extra,
                 )(out)
-            in_planes = planes * self.expansion
 
         out = out.mean(axis=(1, 2))  # global average pool
         out = out.astype(jnp.float32)

@@ -68,6 +68,8 @@ class StepTimer:
             "steps": n,
             "mean_s": sum(ts) / n,
             "p50_s": ts[n // 2],
-            "p90_s": ts[min(n - 1, int(n * 0.9))],
+            # nearest-rank percentile: ceil(0.9n)-1 (int(n*0.9) indexes the
+            # MAX for n <= 10, reporting tail outliers as the p90)
+            "p90_s": ts[max(0, -(-9 * n // 10) - 1)],
             "max_s": ts[-1],
         }
