@@ -323,3 +323,44 @@ def uncoerce_tensor(x, original_shape):
     """[N*H*W, C] -> [N, H, W, C]."""
     n, h, w, c = original_shape
     return x.reshape(n, h, w, c)
+
+
+def format_time(seconds: float) -> str:
+    """Lua-style duration string, at most the two most significant of
+    D/h/m/s/ms (reference utils.py:231-261 semantics, incl. skipping
+    zero-valued middle units: 1 day + 5 min -> "1D5m")."""
+    days, seconds = int(seconds / 3600 / 24), seconds % (3600 * 24)
+    hours, seconds = int(seconds / 3600), seconds % 3600
+    minutes, seconds = int(seconds / 60), seconds % 60
+    secondsf = int(seconds)
+    millis = int((seconds - secondsf) * 1000)
+    out, used = "", 1
+    for value, unit in ((days, "D"), (hours, "h"), (minutes, "m"),
+                        (secondsf, "s"), (millis, "ms")):
+        if value > 0 and used <= 2:
+            out += f"{value}{unit}"
+            used += 1
+    return out or "0ms"
+
+
+def get_mean_and_std(dataset):
+    """Per-channel (mean, std) in [0,1] units for a dataset yielding
+    (HWC image, label) pairs.
+
+    Reproduces the reference's estimator (utils.py:142-156): it AVERAGES
+    each sample's channel mean and unbiased std rather than pooling all
+    pixels — slightly biased, kept for parity. uint8 images are scaled by
+    1/255 first (the reference iterates post-ToTensor floats)."""
+    import numpy as np
+
+    n = len(dataset)
+    mean = np.zeros(3, dtype=np.float64)
+    std = np.zeros(3, dtype=np.float64)
+    for i in range(n):
+        img, _ = dataset[i]
+        x = np.asarray(img)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        mean += x.mean(axis=(0, 1))
+        std += x.std(axis=(0, 1), ddof=1)
+    return mean / n, std / n

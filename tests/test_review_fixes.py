@@ -586,3 +586,31 @@ def test_augment_uint8_grouped_matches_per_image():
         if flips[i]:
             ref = ref[:, ::-1]
         np.testing.assert_array_equal(out[i], ref, err_msg=str(i))
+
+
+def test_format_time_reference_semantics():
+    from nbdt_tpu.utils import format_time
+
+    assert format_time(0) == "0ms"
+    assert format_time(0.123) == "123ms"
+    assert format_time(61.5) == "1m1s"
+    assert format_time(3600 * 24 + 300) == "1D5m"  # zero hours skipped
+    assert format_time(2 * 3600 + 30 * 60 + 5) == "2h30m"  # max two units
+
+
+def test_get_mean_and_std_constant_dataset():
+    from nbdt_tpu.utils import get_mean_and_std
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            img = np.full((8, 8, 3), 128, np.uint8)
+            img[:, :, 1] = 64
+            return img, 0
+
+    mean, std = get_mean_and_std(DS())
+    np.testing.assert_allclose(mean, [128 / 255, 64 / 255, 128 / 255],
+                               atol=1e-6)
+    np.testing.assert_allclose(std, 0.0, atol=1e-6)
