@@ -195,7 +195,10 @@ def build_analyzer(args, tree, testset):
     cls = getattr(analysis, args.analysis)
     kwargs = {}
     if issubclass(cls, analysis.ScoreSave):
-        kwargs["save_k"] = args.save_k  # --save-k (reference --save-k flow)
+        # --save-k (reference flow); tolerate hand-built namespaces
+        save_k = getattr(args, "save_k", None)
+        if save_k is not None:
+            kwargs["save_k"] = save_k
     # Every rules-driven analyzer (DecisionRules family, the NBDT-entropy
     # scorers, hierarchy-inference visualizer) takes the live tree.
     if "tree" in inspect.signature(cls.__init__).parameters:
