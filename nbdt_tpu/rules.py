@@ -140,6 +140,14 @@ def soft_leaf_log_probs(log_probs: jnp.ndarray, jt: JTreeArrays) -> jnp.ndarray:
 
     Equals log of the reference's product of probabilities: every (node,
     child) pair with class c under the child contributes exactly once.
+
+    Multi-path (DAG) quirk decision: when a class sits under TWO children
+    of the SAME node, every containing slot contributes a factor here. The
+    reference's ``class_probs[:, old] *= probs[:, new]`` hits duplicate
+    column indices, whose torch semantics are officially undefined
+    (index_put without accumulation — last-write-wins on CPU in practice);
+    the all-slots product is the well-defined reading and is what
+    tests/oracle.py pins (see its note). Trees are unaffected.
     """
     B = log_probs.shape[0]
     N, K, C = jt.under.shape

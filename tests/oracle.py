@@ -45,7 +45,14 @@ def oracle_all_node_outputs(outputs: np.ndarray, tree) -> dict:
 
 
 def oracle_soft_traverse(outputs: np.ndarray, tree) -> np.ndarray:
-    """reference model.py:208-242: product of child probs down each path."""
+    """reference model.py:208-242: product of child probs down each path.
+
+    Multi-path note: on a DAG a class may sit under several children of
+    ONE node, giving duplicate ``old_indices`` — the reference's fancy
+    ``*=`` then has officially-undefined torch semantics (last-write-wins
+    on CPU in practice). This oracle applies EVERY containing slot's
+    factor (np.multiply.at, unbuffered), the well-defined reading the
+    rebuild implements (rules.soft_leaf_log_probs). Identical on trees."""
     wnid_to_outputs = oracle_all_node_outputs(outputs, tree)
     num_samples = outputs.shape[0]
     num_classes = len(tree.classes)
@@ -57,8 +64,10 @@ def oracle_soft_traverse(outputs: np.ndarray, tree) -> np.ndarray:
             old = node.child_index_to_class_index[index_child]
             old_indices.extend(old)
             new_indices.extend([index_child] * len(old))
-        assert len(set(old_indices)) == len(old_indices)
-        class_probs[:, old_indices] *= out["probs"][:, new_indices]
+        np.multiply.at(
+            class_probs, (slice(None), old_indices),
+            out["probs"][:, new_indices],
+        )
     return class_probs
 
 

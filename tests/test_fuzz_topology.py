@@ -135,3 +135,85 @@ def test_fuzzed_topology_decision_paths(seed, num_leaves):
                     assert c in succ.get(a, ()), (a, c)
             for s in steps:
                 assert 0.0 <= float(s["prob"]) <= 1.0 + 1e-6
+
+
+def random_dag(seed: int, num_leaves: int, extra_edges: int):
+    """Random multi-path hierarchy: a random tree plus ``extra_edges``
+    additional parent->node edges (creating multi-parent nodes), kept
+    acyclic by only linking from nodes closer to the root."""
+    from nbdt_tpu.hierarchy.digraph import Digraph
+    from nbdt_tpu.tree import Tree
+
+    rnd = random.Random(seed)
+    G = Digraph()
+    leaves = [f"f{i:08d}" for i in range(num_leaves)]
+    for i, wnid in enumerate(leaves):
+        G.add_node(wnid, label=f"leaf{i}")
+    pool = list(leaves)
+    parents = []
+    next_id = num_leaves
+    while len(pool) > 1:
+        k = min(len(pool), rnd.randint(2, 3))
+        children = [pool.pop(rnd.randrange(len(pool))) for _ in range(k)]
+        parent = f"f{next_id:08d}"
+        next_id += 1
+        G.add_node(parent, label=f"inner{next_id}")
+        for c in children:
+            G.add_edge(parent, c)
+        pool.append(parent)
+        parents.append(parent)
+    # extra edges: from a LATER-created parent (nearer the root) to any
+    # node created before it — acyclic by construction
+    candidates = leaves + parents
+    for _ in range(extra_edges):
+        pi = rnd.randrange(1, len(parents))
+        parent = parents[pi]
+        target = candidates[rnd.randrange(num_leaves + pi)]
+        if target != parent and target not in G.succ(parent):
+            G.add_edge(parent, target)
+    tree = Tree.from_graph(G, leaves,
+                           classes=[f"c{i}" for i in range(num_leaves)])
+    return tree
+
+
+@pytest.mark.parametrize("seed,num_leaves,extra", [
+    (10, 5, 2),
+    (11, 12, 4),
+    (12, 25, 8),
+])
+def test_fuzzed_dag_matches_oracle(seed, num_leaves, extra):
+    """Multi-path (DAG) hierarchies: soft traversal matches the oracle's
+    every-slot product (the documented duplicate-slot decision), the hard
+    walk matches the oracle's greedy descent (the closed form dispatches
+    to the scan walk on DAGs), and both tree losses agree."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.losses import hard_tree_sup_loss, soft_tree_sup_loss
+    from nbdt_tpu.rules import (
+        HardEmbeddedDecisionRules,
+        SoftEmbeddedDecisionRules,
+        to_device_tree,
+    )
+
+    tree = random_dag(seed, num_leaves, extra)
+    assert tree.arrays.is_multipath  # the generator must actually make DAGs
+    rng = np.random.RandomState(seed)
+    x = (rng.randn(16, num_leaves) * 3.0).astype(np.float32)
+    y = rng.randint(0, num_leaves, 16).astype(np.int32)
+
+    soft = np.asarray(SoftEmbeddedDecisionRules(tree=tree)(x))
+    ref_soft = oracle_soft_traverse(x.astype(np.float64), tree)
+    np.testing.assert_allclose(soft, ref_soft, rtol=1e-4, atol=1e-6)
+
+    hard = np.asarray(HardEmbeddedDecisionRules(tree=tree)(x))
+    ref_hard = oracle_hard_traverse(x.astype(np.float64), tree)
+    np.testing.assert_array_equal(hard.argmax(1), np.asarray(ref_hard))
+
+    jt = to_device_tree(tree.arrays)
+    ours_soft = float(soft_tree_sup_loss(jnp.asarray(x), jnp.asarray(y), jt))
+    ref_sloss = oracle_soft_tree_sup_loss(x.astype(np.float64), y, tree)
+    np.testing.assert_allclose(ours_soft, ref_sloss, rtol=1e-4)
+
+    ours_hard = float(hard_tree_sup_loss(jnp.asarray(x), jnp.asarray(y), jt))
+    ref_hloss = oracle_hard_tree_sup_loss(x.astype(np.float64), y, tree)
+    np.testing.assert_allclose(ours_hard, ref_hloss, rtol=1e-4)
