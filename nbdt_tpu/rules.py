@@ -143,11 +143,11 @@ def soft_leaf_log_probs(log_probs: jnp.ndarray, jt: JTreeArrays) -> jnp.ndarray:
 
     Multi-path (DAG) quirk decision: when a class sits under TWO children
     of the SAME node, every containing slot contributes a factor here. The
-    reference's ``class_probs[:, old] *= probs[:, new]`` hits duplicate
-    column indices, whose torch semantics are officially undefined
-    (index_put without accumulation — last-write-wins on CPU in practice);
-    the all-slots product is the well-defined reading and is what
-    tests/oracle.py pins (see its note). Trees are unaffected.
+    reference REJECTS such inputs outright (its traverse asserts unique
+    indices before the fancy ``*=``, model.py:237-240), so this is a
+    strict domain EXTENSION, not a divergence — pinned by tests/oracle.py
+    and the DAG fuzzer. Trees, and DAGs whose within-node memberships stay
+    disjoint (everything the reference accepts), are bit-identical.
     """
     B = log_probs.shape[0]
     N, K, C = jt.under.shape

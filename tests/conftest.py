@@ -14,8 +14,11 @@ sys.path.insert(0, str(REPO / "tests"))
 REFERENCE = Path("/root/reference")
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped on purpose: a session-scoped shared RandomState made
+    # every test's inputs depend on which tests ran before it, so a
+    # full-suite failure could not be reproduced by running the one test.
     return np.random.RandomState(0)
 
 

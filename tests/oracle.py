@@ -48,11 +48,12 @@ def oracle_soft_traverse(outputs: np.ndarray, tree) -> np.ndarray:
     """reference model.py:208-242: product of child probs down each path.
 
     Multi-path note: on a DAG a class may sit under several children of
-    ONE node, giving duplicate ``old_indices`` — the reference's fancy
-    ``*=`` then has officially-undefined torch semantics (last-write-wins
-    on CPU in practice). This oracle applies EVERY containing slot's
-    factor (np.multiply.at, unbuffered), the well-defined reading the
-    rebuild implements (rules.soft_leaf_log_probs). Identical on trees."""
+    ONE node, giving duplicate ``old_indices`` — the reference REJECTS
+    such inputs outright (explicit AssertionError, model.py:237-240). The
+    rebuild EXTENDS the domain with the well-defined every-slot product
+    (rules.soft_leaf_log_probs), which this oracle mirrors via
+    np.multiply.at (unbuffered). Identical on trees and on DAGs whose
+    within-node memberships stay disjoint (the reference-legal set)."""
     wnid_to_outputs = oracle_all_node_outputs(outputs, tree)
     num_samples = outputs.shape[0]
     num_classes = len(tree.classes)

@@ -16,12 +16,9 @@ def install():
         wrn28_10_cifar100=none_fn, get_wrn_cifar=none_fn)
     e = mod("pytorchcv.models.efficientnet"); e.__all__ = []
     mod("pytorchcv.models.common")
-    tv = mod("torchvision")
+    mod("torchvision")
     mod("torchvision.datasets", ImageFolder=object, CIFAR10=object,
         CIFAR100=object)
-    class _T:  # transforms namespace with permissive callables
-        def __getattr__(self, k):
-            return lambda *a, **kw: (lambda x: x)
     mod("torchvision.transforms", **{k: (lambda *a, **kw: (lambda x: x))
         for k in ("Compose", "Resize", "CenterCrop", "ToTensor", "Normalize",
                   "RandomCrop", "RandomHorizontalFlip")})
@@ -33,24 +30,26 @@ def install():
 
     from networkx.readwrite import json_graph as _jg
 
-    if "edges" in getattr(_jg.node_link_graph, "__kwdefaults__", {}) or True:
-        _orig = _jg.node_link_graph
+    # installed unconditionally: the KeyError retry is version-safe
+    # (probing __kwdefaults__ first raised TypeError on networkx versions
+    # where it is None, and the probe was dead code anyway)
+    _orig = _jg.node_link_graph
 
-        @functools.wraps(_orig)
-        def _node_link_graph(data, *a, **kw):
-            try:
-                return _orig(data, *a, **kw)
-            except KeyError:
-                kw.setdefault("edges", "links")
-                return _orig(data, *a, **kw)
-
-        _jg.node_link_graph = _node_link_graph
+    @functools.wraps(_orig)
+    def _node_link_graph(data, *a, **kw):
         try:
-            import networkx as _nx
+            return _orig(data, *a, **kw)
+        except KeyError:
+            kw.setdefault("edges", "links")
+            return _orig(data, *a, **kw)
 
-            _nx.node_link_graph = _node_link_graph
-        except Exception:
-            pass
+    _jg.node_link_graph = _node_link_graph
+    try:
+        import networkx as _nx
+
+        _nx.node_link_graph = _node_link_graph
+    except Exception:
+        pass
 
     # sklearn >= 1.4 renamed AgglomerativeClustering(affinity=) to metric=.
     try:

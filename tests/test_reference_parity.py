@@ -95,6 +95,7 @@ def test_decision_path_parity(reference_rules, our_rules, logits):
         )
     _, our_decisions = our_hard.forward_with_decisions(logits)
     assert len(ref_decisions) == len(our_decisions)
+    assert len(ref_decisions) == len(our_decisions)  # zip must not truncate
     for ref_path, our_path in zip(ref_decisions, our_decisions):
         ref_wnids = [d["node"].wnid for d in ref_path if d.get("node")]
         our_wnids = [d["node"].wnid for d in our_path if d.get("node")]
@@ -249,10 +250,14 @@ def test_seg_loss_custom_criterion_parity(reference_rules, our_rules):
     assert ours == pytest.approx(theirs, rel=1e-4)
 
 
-def test_induced_graph_parity():
+def test_induced_graph_parity(reference_rules):
     """Hierarchy induction from identical centers produces the identical
     graph as the reference's sklearn-based builder (reference
-    graph.py:400-464): same node set, same edges, same labels."""
+    graph.py:400-464): same node set, same edges, same labels.
+
+    ``reference_rules`` is used only as the skip-when-unmounted guard —
+    without it this test errored (ModuleNotFoundError) instead of
+    skipping when /root/reference is absent."""
     pytest.importorskip("sklearn")
     import ref_stubs  # noqa: F401
     from nbdt.graph import build_induced_graph as ref_build
@@ -274,6 +279,19 @@ def test_induced_graph_parity():
     assert set(G_ref.edges) == {
         (u, v) for u in G_ours.nodes for v in G_ours.succ(u)
     }
+    # labels too (the docstring's third promise): wnid-identical graphs
+    # with drifted label attributes would break vis/wnid_to_label. Offline
+    # (no WordNet corpus) the reference leaves unknown-wnid leaves
+    # UNLABELED; ours writes the '(generated)' placeholder — a documented
+    # cosmetic deviation, so the exact-match check covers only nodes the
+    # reference labeled.
+    ref_labels = {n: d.get("label") for n, d in G_ref.nodes(data=True)}
+    our_labels = {n: G_ours.attrs(n).get("label") for n in G_ours.nodes}
+    for n, ref_label in ref_labels.items():
+        if ref_label is not None:
+            assert our_labels[n] == ref_label, n
+        else:
+            assert our_labels[n] in (None, "", "(generated)"), n
 
 
 def test_pretrained_checkpoint_end_to_end(reference_rules, tmp_path):
@@ -362,6 +380,7 @@ def test_pretrained_checkpoint_end_to_end(reference_rules, tmp_path):
         else np.asarray(our_out),
         ref_out.numpy().argmax(1),
     )
+    assert len(ref_decisions) == len(our_decisions)  # zip must not truncate
     for ref_path, our_path in zip(ref_decisions, our_decisions):
         ref_wnids = [d["node"].wnid for d in ref_path if d.get("node")]
         our_wnids = [d["node"].wnid for d in our_path if d.get("node")]
@@ -422,7 +441,7 @@ def test_train_trajectory_parity(reference_rules, tmp_path):
         opt.zero_grad()
         loss.backward()
         opt.step()
-        ref_losses.append(float(loss))
+        ref_losses.append(loss.item())  # item(): no requires_grad warning
 
     # --- our side: jitted train step from the converted initial weights ---
     module = get_model("ResNet10", 10)
