@@ -20,7 +20,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
 import os, sys
-repo, pid, port = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+repo, pid, port, workdir = (sys.argv[1], int(sys.argv[2]), sys.argv[3],
+                            sys.argv[4])
 sys.path.insert(0, repo)
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
@@ -53,8 +54,10 @@ tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train(),
 vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
                 pad_last=True, num_shards=2, shard_id=pid)
 mesh = make_mesh()  # dp8 x tp1 across both hosts
+# checkpoint dirs under the test's tmp_path: fixed /tmp paths collide
+# between concurrent suite runs on one machine (and leak forever)
 cfg = TrainConfig(batch_size=16, epochs=1, loss="SoftTreeSupLoss", lr=0.01,
-                  checkpoint_dir=f"/tmp/mh-ckpt-{pid}")
+                  checkpoint_dir=os.path.join(workdir, f"mh-ckpt-{pid}"))
 tr = Trainer(cfg, module, variables, tl, vl, tree=tree, mesh=mesh)
 stats = tr.train_epoch(0)
 acc = tr.evaluate(0, checkpoint=False)
@@ -81,7 +84,7 @@ assert np.isfinite(stats2["loss"])
 # coordinates via a distributed barrier; each host writes its own shards),
 # restored into the first trainer. This is the backend main.py exposes via
 # --checkpoint-backend=orbax for multi-host runs.
-odir = f"/tmp/mh-ckpt-orbax-{port}"
+odir = os.path.join(workdir, f"mh-ckpt-orbax-{port}")
 tr2.config.checkpoint_dir = odir
 tr2.config.checkpoint_backend = "orbax"
 opath = tr2.save(epoch=2, acc=float(acc))
@@ -92,7 +95,9 @@ np.testing.assert_array_equal(
     np.asarray(tr2.params["linear"]["kernel"]),
 )
 
-print(f"RESULT {pid} loss={stats['loss']:.6f} resumed={stats2['loss']:.6f} "
+# %.17g = repr-grade precision so the cross-host equality check is a real
+# bit-identity check, not 6-decimal rounding
+print(f"RESULT {pid} loss={stats['loss']:.17g} resumed={stats2['loss']:.17g} "
       f"orbax=ok", flush=True)
 """
 
@@ -113,7 +118,8 @@ def _launch_workers(tmp_path):
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), REPO, str(pid), str(port)],
+            [sys.executable, str(script), REPO, str(pid), str(port),
+             str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
@@ -157,15 +163,19 @@ def test_two_process_mesh_train_step(tmp_path):
         print(f"first attempt failed, retrying on a fresh port:\n{err}")
         outs, err = _launch_workers(tmp_path)
     assert err is None, err
-    losses = {}
+    losses, resumed = {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
                 parts = line.split()
-                pid, kv = parts[1], parts[2]
-                losses[pid] = float(kv.split("=")[1])
+                pid = parts[1]
+                losses[pid] = float(parts[2].split("=")[1])
+                resumed[pid] = float(parts[3].split("=")[1])
     assert set(losses) == {"0", "1"}, outs
     # Gradients are psummed over the global batch: the replicated loss must
-    # be bit-identical on both hosts.
+    # be bit-identical on both hosts — for the first epoch AND for the
+    # resumed (checkpoint-restored, zero=True) step, whose per-host
+    # momentum shards would expose a restore/placement divergence here.
     assert losses["0"] == losses["1"]
-    assert np.isfinite(losses["0"])
+    assert resumed["0"] == resumed["1"]
+    assert np.isfinite(losses["0"]) and np.isfinite(resumed["0"])

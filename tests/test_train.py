@@ -5,17 +5,44 @@ import pytest
 
 
 @pytest.fixture(scope="module")
-def tiny_setup():
-    """ResNet10 on 16x16 synthetic data over the 7-class synthetic tree."""
-    from nbdt_tpu.data import DataLoader, SyntheticDataset
+def _tiny_model():
+    """The expensive shared part (module init) — deterministic, reusable."""
     from nbdt_tpu.models import init_model
 
-    module, variables = init_model("ResNet10", 7, (16, 16, 3))
+    return init_model("ResNet10", 7, (16, 16, 3))
+
+
+@pytest.fixture()
+def tiny_setup(_tiny_model):
+    """ResNet10 on 16x16 synthetic data over the 7-class synthetic tree.
+
+    Loaders are FRESH per test: a shared shuffle=True DataLoader advances
+    its RandomState on every __iter__, making each test's batch order
+    depend on which tests ran before it (the order-dependence
+    tests/conftest.py's rng fixture is function-scoped to avoid)."""
+    from nbdt_tpu.data import DataLoader, SyntheticDataset
+
+    module, variables = _tiny_model
     ds = SyntheticDataset(num_classes=7, size=32, image_size=16)
     tl = DataLoader(ds, 8, shuffle=True, transform=ds.transform_train())
     vl = DataLoader(ds, 8, transform=ds.transform_val(), drop_last=False,
                     pad_last=True)
     return module, variables, tl, vl
+
+
+def _make_smoothed_ce(eps):
+    """Label-smoothing CE factory — shared by both custom-criterion tests
+    so the formula cannot drift between them."""
+    import jax
+    import jax.numpy as jnp
+
+    def smoothed_ce(logits, targets):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        onehot = jax.nn.one_hot(targets, logits.shape[-1])
+        soft = onehot * (1 - eps) + eps / logits.shape[-1]
+        return -(soft * logp).sum(-1).mean()
+
+    return smoothed_ce
 
 
 @pytest.mark.parametrize("loss", ["CrossEntropyLoss", "SoftTreeSupLoss",
@@ -27,11 +54,16 @@ def test_train_step_decreases_loss(tiny_setup, synthetic_tree, loss):
     cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
                       epochs=3, loss=loss, lr=0.01, checkpoint_dir="/tmp/ckpt-test")
     tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    w0 = np.asarray(tr.params["linear"]["kernel"]).copy()
     first = tr.train_epoch(0)
-    for _ in range(2):
-        last = tr.train_epoch(1)
+    for e in (1, 2):
+        last = tr.train_epoch(e)
     assert np.isfinite(last["loss"])
     assert last["loss"] < first["loss"] * 1.5  # moving, not diverging
+    # the precise dead-gradient check (the epoch stat is the LAST batch's
+    # loss — too noisy for a strict decrease assert at this scale): a
+    # broken gradient path for this loss leaves the weights untouched
+    assert not np.array_equal(w0, np.asarray(tr.params["linear"]["kernel"]))
 
 
 def test_evaluate_and_checkpoint(tiny_setup, synthetic_tree, tmp_path):
@@ -42,7 +74,8 @@ def test_evaluate_and_checkpoint(tiny_setup, synthetic_tree, tmp_path):
                       epochs=1, loss="SoftTreeSupLoss",
                       checkpoint_dir=str(tmp_path))
     tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
-    acc = tr.evaluate(0)  # saves checkpoint (any acc > 0 beats best=0)
+    tr.train_epoch(0)  # params must DIFFER from init or the round-trip
+    acc = tr.evaluate(0)  # check below is vacuous (tr2 shares `variables`)
     assert 0 <= acc <= 100
 
     tr2 = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
@@ -50,10 +83,11 @@ def test_evaluate_and_checkpoint(tiny_setup, synthetic_tree, tmp_path):
 
     path = os.path.join(str(tmp_path), tr.checkpoint_fname() + ".msgpack")
     assert os.path.exists(path)
+    a = np.asarray(tr.params["linear"]["kernel"])
+    assert not np.array_equal(a, np.asarray(tr2.params["linear"]["kernel"]))
     tr2.load(path)
     assert tr2.best_acc == acc
-    # params round-trip exactly
-    a = np.asarray(tr.params["linear"]["kernel"])
+    # params round-trip exactly (trained values, not the shared init)
     b = np.asarray(tr2.params["linear"]["kernel"])
     np.testing.assert_array_equal(a, b)
 
@@ -64,7 +98,6 @@ def test_soft_tree_loss_schedule(tiny_setup, synthetic_tree):
     CE*(xw + tw) — 2x CE with defaults — and the tree weight stays on its
     schedule rather than being zeroed. After the switch, the tree term is
     the actual soft tree loss."""
-    import pytest as _pytest
 
     from nbdt_tpu.trainer import TrainConfig, Trainer
 
@@ -77,15 +110,15 @@ def test_soft_tree_loss_schedule(tiny_setup, synthetic_tree):
     assert tw_before == 1.0  # scheduled, not zeroed
 
     pre = tr.train_epoch(0)  # warm-up: tree term IS the criterion
-    assert pre["loss_tree"] == _pytest.approx(pre["loss_xent"], rel=1e-6)
-    assert pre["loss"] == _pytest.approx(
+    assert pre["loss_tree"] == pytest.approx(pre["loss_xent"], rel=1e-6)
+    assert pre["loss"] == pytest.approx(
         pre["loss_xent"] * (tw_before + xw_before), rel=1e-6
     )
 
     step_before = tr.train_step
     post = tr.train_epoch(6)  # tree active: step rebuilt once
     assert tr.train_step is not step_before
-    assert post["loss_tree"] != _pytest.approx(post["loss_xent"], rel=1e-6)
+    assert post["loss_tree"] != pytest.approx(post["loss_xent"], rel=1e-6)
 
 
 def test_stateful_soft_tree_loss_matches_jitted_step_pre_start(
@@ -160,11 +193,7 @@ def test_custom_criterion_routed(tiny_setup, synthetic_tree):
     from nbdt_tpu.rules import to_device_tree
     from nbdt_tpu.trainer import TrainConfig, make_optimizer, make_train_step
 
-    def smoothed_ce(logits, targets, eps=0.2):
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        onehot = jax.nn.one_hot(targets, logits.shape[-1])
-        soft = onehot * (1 - eps) + eps / logits.shape[-1]
-        return -(soft * logp).sum(-1).mean()
+    smoothed_ce = _make_smoothed_ce(eps=0.2)
 
     rng = np.random.RandomState(1)
     logits = jnp.asarray(rng.randn(8, 7).astype(np.float32))
@@ -205,8 +234,8 @@ def test_custom_criterion_routed(tiny_setup, synthetic_tree):
     # transcription of the reference loop with the same criterion.
     from oracle import oracle_hard_tree_sup_loss
 
-    def np_smoothed_ce(l, t, eps=0.2):
-        return float(smoothed_ce(jnp.asarray(l), jnp.asarray(t), eps))
+    def np_smoothed_ce(l, t):
+        return float(smoothed_ce(jnp.asarray(l), jnp.asarray(t)))
 
     hard = HardTreeSupLoss(tree=synthetic_tree, criterion=smoothed_ce,
                            tree_supervision_weight=1.5)
@@ -374,15 +403,17 @@ def test_orbax_checkpoint_roundtrip(tiny_setup, synthetic_tree, tmp_path):
                       checkpoint_dir=str(tmp_path),
                       checkpoint_backend="orbax")
     tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
-    path = tr.save(epoch=3, acc=42.0)
+    tr.train_epoch(0)  # params must differ from the shared init, or the
+    path = tr.save(epoch=3, acc=42.0)  # restore check below is vacuous
     assert path.endswith(".orbax")
 
     tr2 = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    a = np.asarray(tr.params["linear"]["kernel"])
+    assert not np.array_equal(a, np.asarray(tr2.params["linear"]["kernel"]))
     tr2.load(path)
     assert tr2.best_acc == 42.0 and tr2.start_epoch == 3
     np.testing.assert_array_equal(
-        np.asarray(tr.params["linear"]["kernel"]),
-        np.asarray(tr2.params["linear"]["kernel"]),
+        a, np.asarray(tr2.params["linear"]["kernel"])
     )
 
 
@@ -398,11 +429,7 @@ def test_hard_loss_custom_criterion_in_step(synthetic_tree):
     from nbdt_tpu.rules import to_device_tree
     from nbdt_tpu.trainer import tree_term_fn
 
-    def smoothed_ce(logits, targets, eps=0.1):
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        onehot = jax.nn.one_hot(targets, logits.shape[-1])
-        soft = onehot * (1 - eps) + eps / logits.shape[-1]
-        return -(soft * logp).sum(-1).mean()
+    smoothed_ce = _make_smoothed_ce(eps=0.1)
 
     jt = to_device_tree(synthetic_tree.arrays)
     term = tree_term_fn("HardTreeSupLoss", jt, tsw=2.0,
@@ -737,7 +764,9 @@ def test_trainer_cache_dataset_with_device_analyzer(synthetic_tree,
     tr.train_epoch(0)
     acc = tr.evaluate(0, checkpoint=False)
     assert 0 <= acc <= 100
-    assert an.accuracy >= 0  # analyzer metric was fed (device-counted)
+    # the analyzer metric was genuinely FED by the device count step
+    # (an.accuracy >= 0 alone is a tautology: report() returns 0 on empty)
+    assert an.metric.total == len(vl.dataset)
 
 
 def test_trainer_cache_dataset_on_mesh(synthetic_tree, tmp_path):
