@@ -79,6 +79,28 @@ def maybe_set_platform(platform: str | None = None) -> None:
         jax.config.update("jax_platforms", platform)
 
 
+def _machine_tag() -> str:
+    """Short fingerprint of this host's CPU (arch + feature flags).
+
+    Keys the compilation-cache directory: a CPU AOT entry compiled on a
+    machine with different vector extensions loads with xla SIGILL
+    warnings (and can genuinely SIGILL) — observed when a shared cache
+    path crossed hosts. Same machine -> same tag -> full reuse."""
+    import hashlib
+    import platform
+
+    raw = platform.machine() + platform.processor()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    raw += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(raw.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache for entry points.
 
@@ -88,14 +110,17 @@ def enable_compilation_cache(path: str | None = None) -> None:
     overrides the location; set it to ``0``/``off`` to disable. Deliberately
     NOT enabled on library import — only CLIs/bench opt in (test processes
     churn thousands of tiny compiles; jax's min-compile-time floor already
-    skips those, but entry points are where cross-process reuse pays)."""
+    skips those, but entry points are where cross-process reuse pays).
+    The default path is keyed by a machine fingerprint (_machine_tag) so
+    cross-host cache entries never load."""
     import os as _os
 
     env = _os.environ.get("NBDT_COMPILE_CACHE")
     if env in ("0", "off", "none"):
         return
     path = env or path or _os.path.join(
-        _os.path.expanduser("~"), ".cache", "nbdt_tpu", "jax_cache"
+        _os.path.expanduser("~"), ".cache", "nbdt_tpu",
+        f"jax_cache-{_machine_tag()}"
     )
     try:
         _os.makedirs(path, exist_ok=True)

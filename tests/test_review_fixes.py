@@ -614,3 +614,26 @@ def test_get_mean_and_std_constant_dataset():
     np.testing.assert_allclose(mean, [128 / 255, 64 / 255, 128 / 255],
                                atol=1e-6)
     np.testing.assert_allclose(std, 0.0, atol=1e-6)
+
+
+def test_compilation_cache_machine_keyed(monkeypatch, tmp_path):
+    """The default cache dir is keyed by a machine fingerprint so CPU AOT
+    entries compiled on a different host (different vector extensions)
+    never load — the observed cross-machine SIGILL-warning source."""
+    import jax
+
+    from nbdt_tpu.utils import _machine_tag, enable_compilation_cache
+
+    tag = _machine_tag()
+    assert len(tag) == 10 and tag == _machine_tag()  # stable on one host
+    monkeypatch.delenv("NBDT_COMPILE_CACHE", raising=False)
+    monkeypatch.setenv("HOME", str(tmp_path))
+    captured = {}
+    monkeypatch.setattr(
+        jax.config, "update",
+        lambda k, v: captured.__setitem__(k, v),
+    )
+    enable_compilation_cache()
+    assert captured["jax_compilation_cache_dir"].endswith(
+        f"jax_cache-{tag}"
+    )
