@@ -50,8 +50,17 @@ def build_lr_schedule(opt_cfg: dict, steps_per_epoch: int, epochs: int):
     # the end of warmup — absolute steps would fire each decay
     # warmup_steps (~5 epochs) late vs the reference's global-epoch
     # milestones (ClassyVision composite 'fixed' interval scaling).
-    boundaries = [max(1, m * steps_per_epoch - warmup_steps)
-                  for m in milestones]
+    boundaries = [m * steps_per_epoch - warmup_steps for m in milestones]
+    if any(b < 1 for b in boundaries):
+        # Clamping would silently collapse duplicate boundary-1 keys in the
+        # piecewise dict, dropping decay factors — a misconfiguration, not
+        # something to paper over.
+        bad = [m for m, b in zip(milestones, boundaries) if b < 1]
+        raise ValueError(
+            f"LR milestones {bad} (epochs) fall inside the warmup phase "
+            f"({warmup_steps} steps ~= "
+            f"{warmup_steps / max(1, steps_per_epoch):.1f} epochs); move "
+            "them past warmup or shrink warmup_frac.")
     multistep = optax.piecewise_constant_schedule(
         values[0],
         {b: values[i + 1] / values[i] for i, b in enumerate(boundaries)},

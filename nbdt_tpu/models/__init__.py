@@ -14,25 +14,9 @@ import jax
 import jax.numpy as jnp
 
 from .alexnet import AlexNet, alexnet
-from .efficientnet import (
-    EfficientNet,
-    efficientnet_b0,
-    efficientnet_b0b,
-    efficientnet_b1,
-    efficientnet_b1b,
-    efficientnet_b2,
-    efficientnet_b2b,
-    efficientnet_b3,
-    efficientnet_b3b,
-    efficientnet_b4,
-    efficientnet_b4b,
-    efficientnet_b5,
-    efficientnet_b5b,
-    efficientnet_b6,
-    efficientnet_b6b,
-    efficientnet_b7,
-    efficientnet_b7b,
-)
+from . import efficientnet as _efficientnet
+from .efficientnet import EfficientNet
+from .efficientnet import *  # noqa: F401,F403 — the b0..b8 x {,b,c} grid
 from .densenet import (
     DenseNet,
     densenet121,
@@ -62,7 +46,13 @@ from .resnet import (
     wide_resnet50_2,
     wide_resnet101_2,
 )
-from .shufflenet import ShuffleNetV2, shufflenet_v2_x0_5, shufflenet_v2_x1_0
+from .shufflenet import (
+    ShuffleNetV2,
+    shufflenet_v2_x0_5,
+    shufflenet_v2_x1_0,
+    shufflenet_v2_x1_5,
+    shufflenet_v2_x2_0,
+)
 from .squeezenet import SqueezeNet, squeezenet1_0, squeezenet1_1
 from .vgg import (
     VGG,
@@ -99,22 +89,12 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "wrn28_10": wrn28_10,
     "wrn28_10_cifar10": wrn28_10_cifar10,
     "wrn28_10_cifar100": wrn28_10_cifar100,
-    "efficientnet_b0": efficientnet_b0,
-    "efficientnet_b1": efficientnet_b1,
-    "efficientnet_b2": efficientnet_b2,
-    "efficientnet_b3": efficientnet_b3,
-    "efficientnet_b4": efficientnet_b4,
-    "efficientnet_b5": efficientnet_b5,
-    "efficientnet_b6": efficientnet_b6,
-    "efficientnet_b7": efficientnet_b7,
-    "efficientnet_b0b": efficientnet_b0b,
-    "efficientnet_b1b": efficientnet_b1b,
-    "efficientnet_b2b": efficientnet_b2b,
-    "efficientnet_b3b": efficientnet_b3b,
-    "efficientnet_b4b": efficientnet_b4b,
-    "efficientnet_b5b": efficientnet_b5b,
-    "efficientnet_b6b": efficientnet_b6b,
-    "efficientnet_b7b": efficientnet_b7b,
+    # pytorchcv's efficientnet module exports b0..b8 plus the TF-mode "b"
+    # (ported) and "c" (AdvProp) weight families — all reachable through the
+    # reference's star-import (reference models/__init__.py:3); the module
+    # defines every one of them, so register the full b0..b8 x {,b,c} grid.
+    **{name: getattr(_efficientnet, name)
+       for name in _efficientnet.__all__ if name != "EfficientNet"},
     "vit_b16": vit_b16,
     "vit_s16": vit_s16,
     "mobilenet_v2": mobilenet_v2,
@@ -141,6 +121,8 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "squeezenet1_1": squeezenet1_1,
     "shufflenet_v2_x0_5": shufflenet_v2_x0_5,
     "shufflenet_v2_x1_0": shufflenet_v2_x1_0,
+    "shufflenet_v2_x1_5": shufflenet_v2_x1_5,
+    "shufflenet_v2_x2_0": shufflenet_v2_x2_0,
 }
 
 
@@ -178,11 +160,16 @@ def get_model_choices():
     return sorted(MODEL_REGISTRY)
 
 
-def get_model(arch: str, num_classes: int, dtype=jnp.float32):
-    """Construct a backbone module by name."""
+def get_model(arch: str, num_classes: int, dtype=jnp.float32, **kwargs):
+    """Construct a backbone module by name.
+
+    Extra keyword arguments pass through to the constructor (e.g.
+    ``transform_input=True`` for googlenet/inception_v3 when loading
+    torchvision *pretrained* checkpoints, which force it True).
+    """
     if arch not in MODEL_REGISTRY:
         raise KeyError(f"Unknown arch {arch!r}. Choices: {get_model_choices()}")
-    return MODEL_REGISTRY[arch](num_classes=num_classes, dtype=dtype)
+    return MODEL_REGISTRY[arch](num_classes=num_classes, dtype=dtype, **kwargs)
 
 
 def init_model(arch: str, num_classes: int, input_shape, seed: int = 0,

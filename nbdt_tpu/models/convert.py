@@ -18,6 +18,7 @@ body.convX.{bn,conv}, identity_conv, post_activ, output).
 from __future__ import annotations
 
 import re
+import warnings
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -360,6 +361,8 @@ _ARCH_MAPPERS = {
     "squeezenet1_1": _squeezenet_key_to_path,
     "shufflenet_v2_x0_5": _shufflenet_key_to_path,
     "shufflenet_v2_x1_0": _shufflenet_key_to_path,
+    "shufflenet_v2_x1_5": _shufflenet_key_to_path,
+    "shufflenet_v2_x2_0": _shufflenet_key_to_path,
     "densenet121": _densenet_key_to_path,
     "densenet161": _densenet_key_to_path,
     "densenet169": _densenet_key_to_path,
@@ -505,11 +508,12 @@ def _vit_heads(arch: str) -> int:
 
 
 _ARCH_SPECS = {
-    **{f"efficientnet_{v}": (lambda v=v: _efficientnet_spec(v))
-       for v in ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")},
-    # pytorchcv's TF-mode "b" aliases share the plain variants' key layout
-    **{f"efficientnet_{v}b": (lambda v=v: _efficientnet_spec(v))
-       for v in ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")},
+    # pytorchcv exports b0..b8 plus the TF-mode "b" (ported) and "c"
+    # (AdvProp) weight families; all share the plain variants' key layout
+    # (pytorchcv get_efficientnet builds one topology for all three).
+    **{f"efficientnet_{v}{s}": (lambda v=v: _efficientnet_spec(v))
+       for v in ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "b8")
+       for s in ("", "b", "c")},
     "vit_b16": _vit_spec,
     "vit_s16": _vit_spec,
 }
@@ -602,6 +606,16 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray], arch: str) -> di
     ``{"params": ..., "batch_stats": ...}``. Raises on unmapped weights so
     silent drops (and the accuracy loss they cause) are impossible.
     """
+    if arch in ("googlenet", "inception_v3"):
+        # torchvision's *pretrained* loaders force transform_input=True;
+        # a converted released checkpoint reproduces torch logits only if
+        # the Flax model is built with transform_input=True too.
+        warnings.warn(
+            f"torchvision pretrained {arch} checkpoints are trained with "
+            "transform_input=True; build the Flax model with "
+            "transform_input=True (e.g. models.googlenet(..., "
+            "transform_input=True)) or its logits will differ.",
+            stacklevel=2)
     if arch in _ARCH_SPECS:
         return _spec_state_dict_to_flax(
             state_dict, _ARCH_SPECS[arch](), heads=_vit_heads(arch)

@@ -18,7 +18,8 @@ from typing import Any, List, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ("EfficientNet", "efficientnet_b0", "efficientnet_b7")
+__all__ = ("EfficientNet",) + tuple(
+    f"efficientnet_b{i}{s}" for i in range(9) for s in ("", "b", "c"))
 
 # (width_mult, depth_mult, resolution, dropout)
 COMPOUND = {
@@ -30,6 +31,7 @@ COMPOUND = {
     "b5": (1.6, 2.2, 456, 0.4),
     "b6": (1.8, 2.6, 528, 0.5),
     "b7": (2.0, 3.1, 600, 0.5),
+    "b8": (2.2, 3.6, 672, 0.5),
 }
 
 # Base B0 stage config: (expand, channels, repeats, stride, kernel)
@@ -154,12 +156,13 @@ class EfficientNet(nn.Module):
         return nn.Dense(self.num_classes, name="output", dtype=jnp.float32)(h)
 
 
-def _make(variant, tf_mode: bool = False):
+def _make(variant, tf_mode: bool = False, suffix: str = ""):
     def ctor(num_classes: int = 1000, dtype=jnp.float32) -> EfficientNet:
         return EfficientNet(variant=variant, num_classes=num_classes,
                             tf_mode=tf_mode, dtype=dtype)
 
-    ctor.__name__ = f"efficientnet_{variant}" + ("b" if tf_mode else "")
+    ctor.__name__ = (f"efficientnet_{variant}"
+                     + (suffix or ("b" if tf_mode else "")))
     return ctor
 
 
@@ -171,9 +174,10 @@ efficientnet_b4 = _make("b4")
 efficientnet_b5 = _make("b5")
 efficientnet_b6 = _make("b6")
 efficientnet_b7 = _make("b7")
+efficientnet_b8 = _make("b8")
 # pytorchcv "b" aliases = TF-ported weights (SAME padding); pytorchcv's
 # efficientnet module (star-imported by the reference) exposes the whole
-# b0b..b7b family — b7b is the reference's ImageNet NBDT arch
+# b0b..b8b family — b7b is the reference's ImageNet NBDT arch
 # (hierarchy='induced-efficientnet_b7b').
 efficientnet_b0b = _make("b0", tf_mode=True)
 efficientnet_b1b = _make("b1", tf_mode=True)
@@ -183,3 +187,17 @@ efficientnet_b4b = _make("b4", tf_mode=True)
 efficientnet_b5b = _make("b5", tf_mode=True)
 efficientnet_b6b = _make("b6", tf_mode=True)
 efficientnet_b7b = _make("b7", tf_mode=True)
+efficientnet_b8b = _make("b8", tf_mode=True)
+# pytorchcv "c" aliases: AdvProp-trained TF-mode weights — architecturally
+# identical to the "b" family (get_efficientnet(..., tf_mode=True,
+# bn_eps=1e-3) in pytorchcv efficientnet.py), only the released weights
+# differ, so the constructors are the same module.
+efficientnet_b0c = _make("b0", tf_mode=True, suffix="c")
+efficientnet_b1c = _make("b1", tf_mode=True, suffix="c")
+efficientnet_b2c = _make("b2", tf_mode=True, suffix="c")
+efficientnet_b3c = _make("b3", tf_mode=True, suffix="c")
+efficientnet_b4c = _make("b4", tf_mode=True, suffix="c")
+efficientnet_b5c = _make("b5", tf_mode=True, suffix="c")
+efficientnet_b6c = _make("b6", tf_mode=True, suffix="c")
+efficientnet_b7c = _make("b7", tf_mode=True, suffix="c")
+efficientnet_b8c = _make("b8", tf_mode=True, suffix="c")

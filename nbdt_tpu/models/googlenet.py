@@ -7,11 +7,11 @@ attribute paths (``inception3a.branch2.0`` -> ``inception3a/branch2_0``)
 so the converter is a string rewrite (models/convert.py). The train-only
 auxiliary heads (aux1/aux2) are not built — they never contribute to eval
 logits, and NBDT consumes eval logits only; the converter skips their
-checkpoint keys explicitly. Like Inception v3, ``transform_input`` is not
-implemented (the ctor defaults it False; torchvision's *pretrained* loader
-forces it True, so reference-released googlenet checkpoints need the
-per-channel input rescale applied host-side before this model to
-reproduce reference logits — same documented deviation as inception.py).
+checkpoint keys explicitly. ``transform_input`` is a real model option
+(default False, matching the torchvision constructor): torchvision's
+*pretrained* loader forces it True, so pass ``transform_input=True`` when
+loading converted reference checkpoints to reproduce their logits — the
+converter warns about this (models/convert.py).
 """
 
 from __future__ import annotations
@@ -21,7 +21,21 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ("GoogLeNet", "googlenet", "BasicConv2d", "ceil_max_pool")
+__all__ = ("GoogLeNet", "googlenet", "BasicConv2d", "ceil_max_pool",
+           "transform_input_rescale")
+
+
+def transform_input_rescale(x: jnp.ndarray) -> jnp.ndarray:
+    """torchvision's ``transform_input`` per-channel affine (NHWC).
+
+    Re-expresses an input normalized with the ImageNet mean/std as if it
+    had been normalized with mean=std=0.5 (torchvision inception.py
+    ``_transform_input``): ``x_c * (std_c/0.5) + (mean_c-0.5)/0.5``.
+    """
+    scale = jnp.asarray([0.229 / 0.5, 0.224 / 0.5, 0.225 / 0.5], x.dtype)
+    shift = jnp.asarray([(0.485 - 0.5) / 0.5, (0.456 - 0.5) / 0.5,
+                         (0.406 - 0.5) / 0.5], x.dtype)
+    return x * scale + shift
 
 
 def ceil_max_pool(x, kernel: int, stride: int):
@@ -114,9 +128,14 @@ _BLOCKS = (
 class GoogLeNet(nn.Module):
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    # torchvision forces this True when pretrained=True; converted
+    # reference checkpoints need it to reproduce logits
+    transform_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False):
+        if self.transform_input:
+            x = transform_input_rescale(x)
         out = x.astype(self.dtype)
         out = BasicConv2d(64, (7, 7), strides=(2, 2), padding=3,
                           name="conv1", dtype=self.dtype)(out, train)
@@ -140,5 +159,7 @@ class GoogLeNet(nn.Module):
         return nn.Dense(self.num_classes, name="fc", dtype=jnp.float32)(out)
 
 
-def googlenet(num_classes: int = 1000, dtype=jnp.float32) -> GoogLeNet:
-    return GoogLeNet(num_classes=num_classes, dtype=dtype)
+def googlenet(num_classes: int = 1000, dtype=jnp.float32,
+              transform_input: bool = False) -> GoogLeNet:
+    return GoogLeNet(num_classes=num_classes, dtype=dtype,
+                     transform_input=transform_input)

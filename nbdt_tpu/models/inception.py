@@ -4,10 +4,12 @@ Zoo-parity backbone: the reference star-imports torchvision.models
 (reference models/__init__.py:1-12), which includes ``inception_v3``.
 Flax module names mirror the torch attribute paths exactly
 (``Mixed_5b.branch5x5_1`` etc.) so the converter is a pure string
-rewrite. Deliberate deviations, both eval-exact: the train-only
-``AuxLogits`` head is not built (the converter skips its keys), and
-``transform_input`` is not implemented (torchvision defaults it False in
-the constructor; pretrained loading can pre-scale inputs host-side).
+rewrite. One deliberate deviation (eval-exact): the train-only
+``AuxLogits`` head is not built (the converter skips its keys).
+``transform_input`` is a real model option (default False, matching the
+torchvision constructor); torchvision's *pretrained* loader forces it
+True, so pass ``transform_input=True`` for converted reference
+checkpoints — the converter warns about this.
 Asymmetric 1x7/7x1 convs keep the MXU busy with contiguous lane tiling —
 XLA handles them natively, no kernel splitting needed.
 """
@@ -19,7 +21,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .googlenet import BasicConv2d
+from .googlenet import BasicConv2d, transform_input_rescale
 
 __all__ = ("InceptionV3", "inception_v3")
 
@@ -129,9 +131,14 @@ class InceptionE(nn.Module):
 class InceptionV3(nn.Module):
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    # torchvision forces this True when pretrained=True; converted
+    # reference checkpoints need it to reproduce logits
+    transform_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False):
+        if self.transform_input:
+            x = transform_input_rescale(x)
         d = self.dtype
         out = x.astype(d)
         out = _conv(32, 3, 3, 0, 0, strides=(2, 2),
@@ -160,5 +167,7 @@ class InceptionV3(nn.Module):
         return nn.Dense(self.num_classes, name="fc", dtype=jnp.float32)(out)
 
 
-def inception_v3(num_classes: int = 1000, dtype=jnp.float32) -> InceptionV3:
-    return InceptionV3(num_classes=num_classes, dtype=dtype)
+def inception_v3(num_classes: int = 1000, dtype=jnp.float32,
+                 transform_input: bool = False) -> InceptionV3:
+    return InceptionV3(num_classes=num_classes, dtype=dtype,
+                       transform_input=transform_input)

@@ -2,12 +2,14 @@
 
 Zoo-parity backbone: the reference star-imports torchvision.models
 (reference models/__init__.py:1-12), which ships mnasnet0_5/0_75/1_0/1_3.
-torchvision's v2 layout keeps a fixed 32/16-channel stem and alpha-scales
-only the six inverted-residual stacks (depths rounded to multiples of 8
-with a 0.9 round-up bias). Flax names mirror the torch Sequential
-indices: ``layers.{i}`` -> ``l{i}``, stack r-th block -> ``l{i}_{r}`` with
-inner ``conv0/bn1/conv3/bn4/conv6/bn7``, ``classifier.1`` ->
-``classifier`` (the induction-probe name, reference graph.py:386-397).
+torchvision's v2 layout alpha-scales the STEM as well as the six
+inverted-residual stacks (``_get_depths`` rounds all eight base channels
+32/16/24/40/80/96/192/320 to multiples of 8 with a 0.9 round-up bias;
+the fixed 32/16 stem was the deprecated _version=1 layout). Flax names
+mirror the torch Sequential indices: ``layers.{i}`` -> ``l{i}``, stack
+r-th block -> ``l{i}_{r}`` with inner ``conv0/bn1/conv3/bn4/conv6/bn7``,
+``classifier.1`` -> ``classifier`` (the induction-probe name, reference
+graph.py:386-397).
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ import jax.numpy as jnp
 __all__ = ("MNASNet", "mnasnet0_5", "mnasnet0_75", "mnasnet1_0",
            "mnasnet1_3", "get_depths")
 
-_BASE_DEPTHS = (24, 40, 80, 96, 192, 320)
+_BASE_DEPTHS = (32, 16, 24, 40, 80, 96, 192, 320)
 # (kernel, stride, expansion, repeats) per stack — torchvision mnasnet.py
 _STACKS = ((3, 2, 3, 3), (5, 2, 3, 3), (5, 2, 6, 3),
            (3, 1, 6, 2), (5, 2, 6, 4), (3, 1, 6, 1))
@@ -34,6 +36,7 @@ def _round_to_multiple_of(val: float, divisor: int,
 
 
 def get_depths(alpha: float):
+    """torchvision's _get_depths: all eight channels scale, stem included."""
     return [_round_to_multiple_of(d * alpha, 8) for d in _BASE_DEPTHS]
 
 
@@ -82,18 +85,19 @@ class MNASNet(nn.Module):
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9997, epsilon=1e-5,
             dtype=jnp.float32, name=name)
+        depths = get_depths(self.alpha)
         out = x.astype(self.dtype)
-        out = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
-                      name="l0", dtype=self.dtype)(out)
+        out = nn.Conv(depths[0], (3, 3), strides=(2, 2), padding=1,
+                      use_bias=False, name="l0", dtype=self.dtype)(out)
         out = nn.relu(norm("l1")(out))
-        out = nn.Conv(32, (3, 3), padding=1, feature_group_count=32,
+        out = nn.Conv(depths[0], (3, 3), padding=1,
+                      feature_group_count=depths[0],
                       use_bias=False, name="l3", dtype=self.dtype)(out)
         out = nn.relu(norm("l4")(out))
-        out = nn.Conv(16, (1, 1), use_bias=False, name="l6",
+        out = nn.Conv(depths[1], (1, 1), use_bias=False, name="l6",
                       dtype=self.dtype)(out)
         out = norm("l7")(out)
-        depths = get_depths(self.alpha)
-        for si, ((k, s, e, n), d) in enumerate(zip(_STACKS, depths)):
+        for si, ((k, s, e, n), d) in enumerate(zip(_STACKS, depths[2:])):
             for r in range(n):
                 out = _InvertedResidual(
                     d, k, s if r == 0 else 1, e,

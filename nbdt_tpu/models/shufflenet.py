@@ -19,7 +19,8 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ("ShuffleNetV2", "shufflenet_v2_x0_5", "shufflenet_v2_x1_0")
+__all__ = ("ShuffleNetV2", "shufflenet_v2_x0_5", "shufflenet_v2_x1_0",
+           "shufflenet_v2_x1_5", "shufflenet_v2_x2_0")
 
 # stages_repeats = [4, 8, 4]; stages_out_channels per width multiplier
 _CHANNELS = {
@@ -120,3 +121,11 @@ def shufflenet_v2_x0_5(num_classes: int = 1000, dtype=jnp.float32):
 
 def shufflenet_v2_x1_0(num_classes: int = 1000, dtype=jnp.float32):
     return ShuffleNetV2(num_classes=num_classes, width="x1_0", dtype=dtype)
+
+
+def shufflenet_v2_x1_5(num_classes: int = 1000, dtype=jnp.float32):
+    return ShuffleNetV2(num_classes=num_classes, width="x1_5", dtype=dtype)
+
+
+def shufflenet_v2_x2_0(num_classes: int = 1000, dtype=jnp.float32):
+    return ShuffleNetV2(num_classes=num_classes, width="x2_0", dtype=dtype)

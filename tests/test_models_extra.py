@@ -290,9 +290,10 @@ def _torch_squeezenet(version="1_0", num_classes=10):
     return TorchSqueezeNet()
 
 
-def _torch_shufflenet(num_classes=10):
-    """torchvision ShuffleNetV2 x1.0 topology with torchvision key names
-    (transcribed from its shufflenetv2.py)."""
+def _torch_shufflenet(num_classes=10, width="x1_0"):
+    """torchvision ShuffleNetV2 topology with torchvision key names
+    (transcribed from its shufflenetv2.py); width selects the
+    _stage_out_channels table (x0_5/x1_0/x1_5/x2_0)."""
     torch = _pytest.importorskip("torch")
     import torch.nn as nn
 
@@ -331,16 +332,19 @@ def _torch_shufflenet(num_classes=10):
                 out = torch.cat((self.branch1(x), self.branch2(x)), 1)
             return shuffle(out)
 
+    from nbdt_tpu.models.shufflenet import _CHANNELS
+
+    chans = _CHANNELS[width]
+
     class TorchShuffleNet(nn.Module):
         def __init__(self):
             super().__init__()
-            chans = (24, 116, 232, 464, 1024)
             self.conv1 = nn.Sequential(
-                nn.Conv2d(3, 24, 3, 2, 1, bias=False),
-                nn.BatchNorm2d(24), nn.ReLU(True),
+                nn.Conv2d(3, chans[0], 3, 2, 1, bias=False),
+                nn.BatchNorm2d(chans[0]), nn.ReLU(True),
             )
             self.maxpool = nn.MaxPool2d(3, 2, 1)
-            cin = 24
+            cin = chans[0]
             for si, (reps, c) in enumerate(zip((4, 8, 4), chans[1:4]),
                                            start=2):
                 units = [Unit(cin, c, 2)]
@@ -348,10 +352,10 @@ def _torch_shufflenet(num_classes=10):
                 units += [Unit(cin, c, 1) for _ in range(reps - 1)]
                 setattr(self, f"stage{si}", nn.Sequential(*units))
             self.conv5 = nn.Sequential(
-                nn.Conv2d(464, 1024, 1, bias=False),
-                nn.BatchNorm2d(1024), nn.ReLU(True),
+                nn.Conv2d(chans[3], chans[4], 1, bias=False),
+                nn.BatchNorm2d(chans[4]), nn.ReLU(True),
             )
-            self.fc = nn.Linear(1024, num_classes)
+            self.fc = nn.Linear(chans[4], num_classes)
 
         def forward(self, x):
             x = self.maxpool(self.conv1(x))
@@ -493,6 +497,10 @@ def test_widened_zoo_forward(arch, size, feat):
     ("squeezenet1_0", lambda: _torch_squeezenet("1_0")),
     ("squeezenet1_1", lambda: _torch_squeezenet("1_1")),
     ("shufflenet_v2_x1_0", _torch_shufflenet),
+    # x1_5/x2_0: same topology, wider channel table (zoo-completeness vs
+    # the reference's torchvision-0.7 star-import)
+    ("shufflenet_v2_x1_5", lambda: _torch_shufflenet(width="x1_5")),
+    ("shufflenet_v2_x2_0", lambda: _torch_shufflenet(width="x2_0")),
 ])
 def test_new_zoo_torch_parity(arch, builder):
     """Converted torchvision-style weights produce the same logits in Flax

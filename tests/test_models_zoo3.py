@@ -155,21 +155,22 @@ def _torch_mnasnet(alpha=1.0, num_classes=10):
         blocks += [InvRes(cout, cout, k, 1, e) for _ in range(n - 1)]
         return nn.Sequential(*blocks)
 
+    # torchvision _version=2 layout: _get_depths scales the stem too
     d = get_depths(alpha)
 
     class TorchMNASNet(nn.Module):
         def __init__(self):
             super().__init__()
             self.layers = nn.Sequential(
-                nn.Conv2d(3, 32, 3, padding=1, stride=2, bias=False),
-                nn.BatchNorm2d(32), nn.ReLU(inplace=True),
-                nn.Conv2d(32, 32, 3, padding=1, groups=32, bias=False),
-                nn.BatchNorm2d(32), nn.ReLU(inplace=True),
-                nn.Conv2d(32, 16, 1, bias=False), nn.BatchNorm2d(16),
-                stack(16, d[0], 3, 2, 3, 3), stack(d[0], d[1], 5, 2, 3, 3),
-                stack(d[1], d[2], 5, 2, 6, 3), stack(d[2], d[3], 3, 1, 6, 2),
-                stack(d[3], d[4], 5, 2, 6, 4), stack(d[4], d[5], 3, 1, 6, 1),
-                nn.Conv2d(d[5], 1280, 1, bias=False), nn.BatchNorm2d(1280),
+                nn.Conv2d(3, d[0], 3, padding=1, stride=2, bias=False),
+                nn.BatchNorm2d(d[0]), nn.ReLU(inplace=True),
+                nn.Conv2d(d[0], d[0], 3, padding=1, groups=d[0], bias=False),
+                nn.BatchNorm2d(d[0]), nn.ReLU(inplace=True),
+                nn.Conv2d(d[0], d[1], 1, bias=False), nn.BatchNorm2d(d[1]),
+                stack(d[1], d[2], 3, 2, 3, 3), stack(d[2], d[3], 5, 2, 3, 3),
+                stack(d[3], d[4], 5, 2, 6, 3), stack(d[4], d[5], 3, 1, 6, 2),
+                stack(d[5], d[6], 5, 2, 6, 4), stack(d[6], d[7], 3, 1, 6, 1),
+                nn.Conv2d(d[7], 1280, 1, bias=False), nn.BatchNorm2d(1280),
                 nn.ReLU(inplace=True))
             self.classifier = nn.Sequential(nn.Dropout(0.2),
                                             nn.Linear(1280, num_classes))
@@ -449,3 +450,56 @@ def test_zoo3_roundtrip_exact():
         assert orig_tree == back_tree, arch
         for a, b in zip(orig_leaves, back_leaves):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_mnasnet_v2_stem_scales_with_alpha():
+    """torchvision's _version=2 layout alpha-scales the stem channels too
+    (_get_depths covers all eight base channels); a fixed 32/16 stem is the
+    deprecated v1 layout and breaks converting real v2 checkpoints."""
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.models.mnasnet import get_depths
+
+    assert get_depths(0.5)[:2] == [16, 8]
+    assert get_depths(1.0)[:2] == [32, 16]
+    assert get_depths(1.3)[:2] == [40, 24]
+
+    _, variables = init_model("mnasnet0_5", 10, (32, 32, 3))
+    assert variables["params"]["l0"]["kernel"].shape == (3, 3, 3, 16)
+    assert variables["params"]["l6"]["kernel"].shape == (1, 1, 16, 8)
+
+
+def test_transform_input_option_and_converter_warning():
+    """torchvision's pretrained googlenet/inception_v3 force
+    transform_input=True; the model option applies the per-channel affine
+    and the converter warns so converted released checkpoints don't
+    silently produce different logits."""
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import get_model, init_model
+    from nbdt_tpu.models.convert import (
+        flax_to_torch_state_dict,
+        torch_state_dict_to_flax,
+    )
+    from nbdt_tpu.models.googlenet import transform_input_rescale
+
+    # the affine itself matches torchvision _transform_input exactly
+    x = np.random.RandomState(0).randn(2, 4, 4, 3).astype(np.float32)
+    want = x * (np.array([0.229, 0.224, 0.225]) / 0.5) + (
+        np.array([0.485, 0.456, 0.406]) - 0.5) / 0.5
+    np.testing.assert_allclose(
+        np.asarray(transform_input_rescale(jnp.asarray(x))), want,
+        rtol=1e-6, atol=1e-6)
+
+    # model option == host-side rescale + plain model
+    module, variables = init_model("googlenet", 10, (64, 64, 3))
+    ti = get_model("googlenet", 10, transform_input=True)
+    xi = np.random.RandomState(1).randn(1, 64, 64, 3).astype(np.float32)
+    plain = module.apply(variables, transform_input_rescale(jnp.asarray(xi)),
+                         train=False)
+    opted = ti.apply(variables, jnp.asarray(xi), train=False)
+    np.testing.assert_allclose(np.asarray(opted), np.asarray(plain),
+                               rtol=1e-6, atol=1e-6)
+
+    sd = flax_to_torch_state_dict(variables, arch="googlenet")
+    with _pytest.warns(UserWarning, match="transform_input=True"):
+        torch_state_dict_to_flax(sd, arch="googlenet")

@@ -94,7 +94,6 @@ def test_decision_path_parity(reference_rules, our_rules, logits):
             torch.from_numpy(logits)
         )
     _, our_decisions = our_hard.forward_with_decisions(logits)
-    assert len(ref_decisions) == len(our_decisions)
     assert len(ref_decisions) == len(our_decisions)  # zip must not truncate
     for ref_path, our_path in zip(ref_decisions, our_decisions):
         ref_wnids = [d["node"].wnid for d in ref_path if d.get("node")]
