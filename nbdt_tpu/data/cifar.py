@@ -149,7 +149,18 @@ class LearnableSyntheticDataset(ArrayDataset):
     learnable only by memorization) this poses a real generalization task —
     ``train=False`` draws fresh samples from the same class templates, so a
     model that learns the classes scores high on held-out data. The offline
-    stand-in for accuracy-bearing runs (no dataset downloads here)."""
+    stand-in for accuracy-bearing runs (no dataset downloads here).
+
+    ``groups`` optionally gives the classes SUPERCLASS structure (one group
+    index per class): each class template becomes a blend of a shared
+    per-group template and its own unique component, so sibling classes
+    look alike. This is what makes the zero-shot superclass flow
+    (reference analysis.py:430-559: train with --exclude-labels, eval
+    Superclass/SuperclassNBDT) testable offline — an excluded class's
+    samples still resemble its trained siblings. ``group_blend`` is the
+    weight of the class-unique component (0 = identical siblings,
+    1 = no group structure). ``groups=None`` draws templates exactly as
+    before (seed-compatible)."""
 
     def __init__(
         self,
@@ -160,11 +171,27 @@ class LearnableSyntheticDataset(ArrayDataset):
         noise: float = 0.35,
         train: bool = True,
         classes: Optional[List[str]] = None,
+        groups: Optional[List[int]] = None,
+        group_blend: float = 0.5,
     ):
         trng = np.random.RandomState(seed)  # templates: shared train/test
         templates = trng.randint(
             0, 256, (num_classes, image_size, image_size, 3)
         ).astype(np.float32)
+        if groups is not None:
+            groups = np.asarray(groups)
+            if len(groups) != num_classes:
+                raise ValueError(
+                    f"groups must give one group per class: "
+                    f"{len(groups)} != {num_classes}"
+                )
+            group_templates = trng.randint(
+                0, 256, (int(groups.max()) + 1, image_size, image_size, 3)
+            ).astype(np.float32)
+            templates = (
+                (1.0 - group_blend) * group_templates[groups]
+                + group_blend * templates
+            )
         srng = np.random.RandomState(seed + (1 if train else 2))
         labels = srng.randint(0, num_classes, size)
         noise_imgs = srng.randint(

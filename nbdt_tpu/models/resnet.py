@@ -161,16 +161,26 @@ class ResNet(nn.Module):
     imagenet_stem: bool = False
     dtype: Any = jnp.float32
     folded: bool = False
+    # BatchNorm compute dtype, a serving/training perf knob (checkpoint
+    # compatible — no parameter change). "f32" (default) normalizes and
+    # reduces batch statistics in float32 like torch; "bf16" runs the
+    # whole norm in the backbone stream dtype with bf16 reductions
+    # (flax force_float32_reductions=False) — the training-path
+    # BN-statistics-cost probe (tools/probe_train_scale.py).
+    bn_impl: str = "f32"
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False):
         assert not (self.folded and train), "folded models are inference-only"
+        assert self.bn_impl in ("f32", "bf16"), self.bn_impl
+        bn_bf16 = self.bn_impl == "bf16"
         norm = partial(
             nn.BatchNorm,
             use_running_average=not train,
             momentum=0.9,  # torch BatchNorm2d default momentum 0.1
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype if bn_bf16 else jnp.float32,
+            force_float32_reductions=not bn_bf16,
         )
         conv = partial(nn.Conv, dtype=self.dtype)
 

@@ -39,15 +39,18 @@ class PreResBlock(nn.Module):
     out_channels: int
     stride: int = 1
     dtype: Any = jnp.float32
+    bn_impl: str = "f32"  # see WRN.bn_impl
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        bn_bf16 = self.bn_impl == "bf16"
         norm = partial(
             nn.BatchNorm,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype if bn_bf16 else jnp.float32,
+            force_float32_reductions=not bn_bf16,
         )
         pre = norm(name="bn1")(x)
         pre = nn.relu(pre)
@@ -80,9 +83,16 @@ class WRN(nn.Module):
     width: int = 10
     num_classes: int = 10
     dtype: Any = jnp.float32
+    # BatchNorm compute dtype, a perf knob (checkpoint compatible — no
+    # parameter change). "f32" (default) normalizes and reduces batch
+    # statistics in float32 like torch; "bf16" runs the whole norm in the
+    # backbone stream dtype with bf16 reductions (flax
+    # force_float32_reductions=False). Same knob as models/resnet.py.
+    bn_impl: str = "f32"
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False):
+        assert self.bn_impl in ("f32", "bf16"), self.bn_impl
         assert (self.depth - 4) % 6 == 0
         n = (self.depth - 4) // 6  # units per stage (4 for depth 28)
         widths = [16 * self.width, 32 * self.width, 64 * self.width]
@@ -98,11 +108,14 @@ class WRN(nn.Module):
                     out_channels=w,
                     stride=stride if unit == 0 else 1,
                     dtype=self.dtype,
+                    bn_impl=self.bn_impl,
                     name=f"stage{stage}_unit{unit + 1}",
                 )(out, train=train)
+        bn_bf16 = self.bn_impl == "bf16"
         out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="post_bn",
+            dtype=self.dtype if bn_bf16 else jnp.float32,
+            force_float32_reductions=not bn_bf16, name="post_bn",
         )(out)
         out = nn.relu(out)
         # global average pool: equals pytorchcv's AvgPool2d(8) on 32x32

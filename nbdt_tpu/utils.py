@@ -111,8 +111,13 @@ def enable_compilation_cache(path: str | None = None) -> None:
     NOT enabled on library import — only CLIs/bench opt in (test processes
     churn thousands of tiny compiles; jax's min-compile-time floor already
     skips those, but entry points are where cross-process reuse pays).
-    The default path is keyed by a machine fingerprint (_machine_tag) so
-    cross-host cache entries never load."""
+    CPU-only processes skip the cache outright: XLA:CPU persists AOT
+    machine code whose validity depends on LLVM's *host detection* (e.g.
+    ``prefer-no-scatter``), which a cpuinfo-flags fingerprint cannot key
+    (observed loading cross-host entries with SIGILL warnings even under
+    _machine_tag dirs) — and CPU compiles are cheap anyway. The cache
+    exists for TPU compiles through the tunnel; the dir is still keyed by
+    _machine_tag as a second line of defense."""
     import os as _os
 
     env = _os.environ.get("NBDT_COMPILE_CACHE")
@@ -123,9 +128,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
         f"jax_cache-{_machine_tag()}"
     )
     try:
-        _os.makedirs(path, exist_ok=True)
         import jax
 
+        platforms = jax.config.read("jax_platforms") or _os.environ.get(
+            "JAX_PLATFORMS", ""
+        )
+        if platforms and set(platforms.split(",")) <= {"cpu"}:
+            return  # CPU-only process: AOT reuse is unsafe and unneeded
+        _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
     except Exception:
         pass  # cache is an optimization; never fail an entry point for it

@@ -328,3 +328,37 @@ def test_local_data_dedupes_replicated_axis(monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     out = local_data(_Arr())
     np.testing.assert_array_equal(out, np.concatenate([rows0, rows1]))
+
+
+def test_learnable_synthetic_groups_structure():
+    """groups= gives classes superclass structure: sibling class means
+    correlate more than cross-group ones (the offline stand-in for the
+    zero-shot superclass flow, reference analysis.py:430-559), unseen-split
+    samples included; groups=None stays seed-compatible with the original
+    template draw."""
+    from nbdt_tpu.data import LearnableSyntheticDataset
+
+    groups = [0, 0, 0, 1, 1, 1]
+    ds = LearnableSyntheticDataset(num_classes=6, size=600, image_size=8,
+                                   groups=groups, group_blend=0.5, seed=3)
+    means = np.stack([
+        ds.images[np.asarray(ds.labels) == c].mean(0).ravel()
+        for c in range(6)
+    ])
+    cc = np.corrcoef(means)
+    within = np.mean([cc[a, b] for a in range(6) for b in range(6)
+                      if a != b and groups[a] == groups[b]])
+    across = np.mean([cc[a, b] for a in range(6) for b in range(6)
+                      if groups[a] != groups[b]])
+    assert within > across + 0.2, (within, across)
+
+    # groups=None is byte-identical to the pre-groups draw (same rng order)
+    a = LearnableSyntheticDataset(num_classes=3, size=32, image_size=8,
+                                  seed=5)
+    b = LearnableSyntheticDataset(num_classes=3, size=32, image_size=8,
+                                  seed=5, groups=None)
+    np.testing.assert_array_equal(a.images, b.images)
+
+    with pytest.raises(ValueError, match="one group per class"):
+        LearnableSyntheticDataset(num_classes=4, size=8, image_size=8,
+                                  groups=[0, 1])

@@ -369,3 +369,36 @@ def test_soft_nbdt_fused_serving_path(synthetic_tree):
 
     with pytest.raises(AssertionError, match="soft-rules"):
         HardNBDT(fused=True, **kwargs)
+
+
+@pytest.mark.parametrize("arch", ["ResNet18", "wrn28_10_cifar10"])
+def test_bn_impl_bf16_checkpoint_compatible(arch):
+    """bn_impl="bf16" is a pure compute-dtype knob (the training-path
+    BN-statistics probe, tools/probe_train_scale.py): identical param /
+    batch_stats trees to the f32 default, close outputs in both modes."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import init_model
+
+    module, variables = init_model(arch, 10, (32, 32, 3))
+    m16 = module.clone(dtype=jnp.bfloat16)
+    m16bn = m16.clone(bn_impl="bf16")
+
+    v16 = m16bn.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    assert jax.tree.structure(v16) == jax.tree.structure(variables)
+    for a, b in zip(jax.tree.leaves(v16), jax.tree.leaves(variables)):
+        assert a.shape == b.shape
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    ref = m16.apply(variables, x, train=False)
+    got = m16bn.apply(variables, x, train=False)
+    assert jnp.mean(jnp.abs(ref.astype(jnp.float32) -
+                            got.astype(jnp.float32))) < 0.2
+
+    # train mode: stats update runs and stays finite under bf16 reductions
+    out, new_state = m16bn.apply(variables, x, train=True,
+                                 mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    flat = jax.tree.leaves(new_state["batch_stats"])
+    assert all(np.isfinite(np.asarray(l, np.float32)).all() for l in flat)

@@ -10,13 +10,24 @@ tiles of the late stages (8x8, 4x4) underfill MXU tiles"
    the whole model as the cross-check that per-stage numbers add up.
 2. matmul ceiling: a plain [M,K]x[K,N] matmul with the SAME FLOPs as each
    late conv — the roofline the conv could reach if lowering were free.
-3. im2col reformulation: the late 3x3 convs as explicit
-   patch-extract + one matmul (lax.conv_general_dilated_patches), timed
-   against the native conv on identical shapes.
+3. shift-and-matmul reformulation: the late 3x3 convs as 9 accumulated
+   [BHW,C]x[C,C] matmuls over shifted views (the TPU-native "im2col":
+   no patch materialization — a naive conv_general_dilated_patches
+   tensor gets its trailing 9 lane-padded to 128 and allocates 32 GiB
+   at batch 8192, measured the hard way).
+
+Measurement discipline: per-dispatch overhead through the axon tunnel is
+~4-6 ms even pipelined — at 3 ms/conv that drowns the signal (a first
+draft of this probe measured every stage at 34-42% "MFU" while the whole
+net runs at 72%; its FLOPs-weighted prediction said 59k imgs/s vs 127.7k
+measured). Every op here therefore runs K iterations inside ONE jit via
+lax.scan, with a weight-scalar data dependency between iterations so XLA
+cannot hoist the loop-invariant op out of the scan. Dispatch overhead
+amortizes to <1%.
 
 A JSON line flushes after every measurement. Usage:
 
-    python tools/probe_conv.py [--batch 8192] [--iters 8]
+    python tools/probe_conv.py [--batch 8192] [--scan-k 24] [--iters 3]
 """
 
 import argparse
@@ -35,7 +46,8 @@ def log(*a):
 
 
 # ResNet18/CIFAR conv inventory: (tag, H, Cin, Cout, stride, count_in_model)
-# — spatial is square, kernel 3x3 except the 1x1 shortcuts (listed).
+# — spatial is square, kernel 3x3 (the 1x1 shortcuts are <2% of FLOPs and
+# ride the transition rows' residual).
 CONVS = [
     ("stem 32px 3->64", 32, 3, 64, 1, 1),
     ("L1 32px 64->64", 32, 64, 64, 1, 4),
@@ -48,12 +60,14 @@ CONVS = [
 ]
 
 PEAK_TFLOPS = 197.0  # v5e bf16
+HBM_GBPS = 819.0  # v5e
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8192)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--scan-k", type=int, default=24)
+    ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip-model", action="store_true")
     args = ap.parse_args()
@@ -67,30 +81,43 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     log(f"backend: {jax.default_backend()}")
-    B = args.batch
+    B, K = args.batch, args.scan_k
 
-    def measure(fn, xs, flops):
-        float(fn(xs[0]).sum())  # compile
+    def dep_scalar(arr):
+        # A data dependency on one element of the previous iteration's
+        # output: forces sequential execution without measurable work.
+        return arr.reshape(-1)[0].astype(jnp.float32) * 1e-30 + 1.0
+
+    def measure(step_fn, init_carry, xargs, flops_per_iter):
+        """Time K iterations of step_fn inside one lax.scan dispatch."""
+
+        @jax.jit
+        def scanned(carry, *xa):
+            def body(c, _):
+                return step_fn(c, *xa), None
+
+            out, _ = lax.scan(body, carry, None, length=K)
+            return out
+
+        scanned(init_carry, *xargs).block_until_ready()  # compile
 
         def one_pass():
             t = time.perf_counter()
-            outs = [fn(xs[i % 2]) for i in range(args.iters)]
-            s = outs[0].sum()
-            for o in outs[1:]:
-                s = s + o.sum()
-            float(s)
+            for _ in range(args.iters):
+                out = scanned(init_carry, *xargs)
+            out.block_until_ready()
             return time.perf_counter() - t
 
         one_pass()
         dt = min(one_pass(), one_pass())
-        tflops = flops * args.iters / dt / 1e12
-        return tflops
+        return flops_per_iter * K * args.iters / dt / 1e12
 
     results = {}
 
-    # --- 1. per-shape native conv rates --------------------------------
+    # --- 1. per-shape native conv rates ---------------------------------
     import flax.linen as nn
 
     for tag, h, cin, cout, stride, count in CONVS:
@@ -98,78 +125,97 @@ def main():
                        use_bias=True, dtype=jnp.bfloat16)
         v = conv.init(jax.random.PRNGKey(0), jnp.zeros((1, h, h, cin),
                                                        jnp.bfloat16))
-
-        @jax.jit
-        def fwd(x, conv=conv, v=v):
-            return nn.relu(conv.apply(v, x))
-
-        xs = [jnp.asarray(np.random.RandomState(s).randn(B, h, h, cin)
-                          .astype(jnp.bfloat16)) for s in range(2)]
-        for x in xs:
-            float(x.sum())
         ho = h // stride
+        x = jnp.asarray(np.random.RandomState(0).randn(B, h, h, cin)
+                        .astype(jnp.bfloat16))
+        x.block_until_ready()
+
+        def step(carry, x, conv=conv, v=v):
+            s = dep_scalar(carry).astype(jnp.bfloat16)
+            w = jax.tree.map(lambda p: p * s, v)
+            return nn.relu(conv.apply(w, x))
+
+        init = jnp.zeros((B, ho, ho, cout), jnp.bfloat16)
         flops = 2 * B * ho * ho * 9 * cin * cout
-        tf = measure(fwd, xs, flops)
+        # roofline: read x + write out + weights, bf16
+        byts = 2 * (B * h * h * cin + B * ho * ho * cout + 9 * cin * cout)
+        bound = min(PEAK_TFLOPS, flops / byts * HBM_GBPS / 1e3)
+        tf = measure(step, init, (x,), flops)
         results[tag] = {"tflops": round(tf, 1),
                         "mfu": round(tf / PEAK_TFLOPS, 3),
+                        "roofline_tflops": round(bound, 1),
+                        "pct_of_roofline": round(tf / bound, 3),
                         "model_count": count,
                         "model_flops": flops * count}
-        log(f"{tag}: {tf:.1f} TFLOP/s ({tf / PEAK_TFLOPS:.0%} MFU)")
+        log(f"{tag}: {tf:.1f} TFLOP/s ({tf / PEAK_TFLOPS:.0%} MFU, "
+            f"{tf / bound:.0%} of roofline {bound:.0f})")
         print(json.dumps({tag: results[tag]}), flush=True)
+        del x, init
 
     # --- 2. matmul ceiling at the late convs' FLOPs ---------------------
-    for tag, h, cin, cout in (("mm-L3 (8px 256)", 8, 256, 256),
+    for tag, h, cin, cout in (("mm-L1 (32px 64)", 32, 64, 64),
+                              ("mm-L3 (8px 256)", 8, 256, 256),
                               ("mm-L4 (4px 512)", 4, 512, 512)):
-        M, K, N = B * h * h, 9 * cin, cout
-
-        @jax.jit
-        def mm(a, w=jnp.asarray(
-            np.random.RandomState(1).randn(K, N).astype(jnp.bfloat16))):
-            return jax.nn.relu(
-                jnp.dot(a, w, preferred_element_type=jnp.float32)
-            ).astype(jnp.bfloat16)
-
-        xs = [jnp.asarray(np.random.RandomState(s).randn(M, K)
-                          .astype(jnp.bfloat16)) for s in range(2)]
-        for x in xs:
-            float(x.sum())
-        tf = measure(mm, xs, 2 * M * K * N)
-        results[tag] = {"tflops": round(tf, 1),
-                        "mfu": round(tf / PEAK_TFLOPS, 3)}
-        log(f"{tag}: {tf:.1f} TFLOP/s ({tf / PEAK_TFLOPS:.0%} MFU)")
-        print(json.dumps({tag: results[tag]}), flush=True)
-
-    # --- 3. im2col reformulation of the late convs ----------------------
-    for tag, h, c in (("im2col-L3 8px 256", 8, 256),
-                      ("im2col-L4 4px 512", 4, 512)):
-        w = jnp.asarray(np.random.RandomState(1).randn(9 * c, c)
+        M, Kd, N = B * h * h, 9 * cin, cout
+        w = jnp.asarray(np.random.RandomState(1).randn(Kd, N)
                         .astype(jnp.bfloat16))
-        b = jnp.asarray(np.zeros(c, jnp.bfloat16))
+        a = jnp.asarray(np.random.RandomState(0).randn(M, Kd)
+                        .astype(jnp.bfloat16))
+        a.block_until_ready()
 
-        @jax.jit
-        def im2col_conv(x, w=w, b=b, c=c, h=h):
-            # patches: [B, H, W, 9*C] (NHWC, 3x3, SAME)
-            p = jax.lax.conv_general_dilated_patches(
-                x, (3, 3), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            out = jnp.dot(p.reshape(-1, 9 * c), w,
-                          preferred_element_type=jnp.float32)
-            return jax.nn.relu(out + b).astype(jnp.bfloat16).reshape(
-                -1, h, h, c)
+        def step(carry, a, w=w):
+            s = dep_scalar(carry).astype(jnp.bfloat16)
+            out = jnp.dot(a, w * s, preferred_element_type=jnp.float32)
+            return jax.nn.relu(out).astype(jnp.bfloat16)
 
-        xs = [jnp.asarray(np.random.RandomState(s).randn(B, h, h, c)
-                          .astype(jnp.bfloat16)) for s in range(2)]
-        for x in xs:
-            float(x.sum())
+        init = jnp.zeros((M, N), jnp.bfloat16)
+        flops = 2 * M * Kd * N
+        byts = 2 * (M * Kd + M * N + Kd * N)
+        bound = min(PEAK_TFLOPS, flops / byts * HBM_GBPS / 1e3)
+        tf = measure(step, init, (a,), flops)
+        results[tag] = {"tflops": round(tf, 1),
+                        "mfu": round(tf / PEAK_TFLOPS, 3),
+                        "roofline_tflops": round(bound, 1),
+                        "pct_of_roofline": round(tf / bound, 3)}
+        log(f"{tag}: {tf:.1f} TFLOP/s ({tf / PEAK_TFLOPS:.0%} MFU, "
+            f"{tf / bound:.0%} of roofline {bound:.0f})")
+        print(json.dumps({tag: results[tag]}), flush=True)
+        del a, init
+
+    # --- 3. shift-and-matmul reformulation of the late convs ------------
+    for tag, h, c in (("shiftmm-L3 8px 256", 8, 256),
+                      ("shiftmm-L4 4px 512", 4, 512)):
+        ws = jnp.asarray(np.random.RandomState(1).randn(9, c, c)
+                         .astype(jnp.bfloat16))
+        b = jnp.zeros((c,), jnp.float32)
+        x = jnp.asarray(np.random.RandomState(0).randn(B, h, h, c)
+                        .astype(jnp.bfloat16))
+        x.block_until_ready()
+
+        def step(carry, x, ws=ws, b=b, c=c, h=h):
+            s = dep_scalar(carry).astype(jnp.bfloat16)
+            acc = jnp.zeros((B, h, h, c), jnp.float32)
+            for k in range(9):
+                dy, dx = k // 3 - 1, k % 3 - 1
+                # shifted view of x, zero-padded (SAME 3x3 tap (dy,dx))
+                xs = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))[
+                    :, 1 + dy:1 + dy + h, 1 + dx:1 + dx + h, :]
+                acc = acc + jnp.dot(
+                    xs.reshape(-1, c), ws[k] * s,
+                    preferred_element_type=jnp.float32,
+                ).reshape(B, h, h, c)
+            return jax.nn.relu(acc + b).astype(jnp.bfloat16)
+
+        init = jnp.zeros((B, h, h, c), jnp.bfloat16)
         flops = 2 * B * h * h * 9 * c * c
-        tf = measure(im2col_conv, xs, flops)
+        tf = measure(step, init, (x,), flops)
         results[tag] = {"tflops": round(tf, 1),
                         "mfu": round(tf / PEAK_TFLOPS, 3)}
         log(f"{tag}: {tf:.1f} TFLOP/s ({tf / PEAK_TFLOPS:.0%} MFU)")
         print(json.dumps({tag: results[tag]}), flush=True)
+        del x, init
 
-    # --- 4. whole-model cross-check -------------------------------------
+    # --- 4. whole-model cross-check --------------------------------------
     if not args.skip_model:
         from nbdt_tpu.models import init_model
         from nbdt_tpu.models.fold import fold_batchnorm
@@ -177,17 +223,18 @@ def main():
         module, variables = init_model("ResNet18", 10, (32, 32, 3))
         fmod, fvars = fold_batchnorm(module, variables)
         fmod16 = fmod.clone(dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.RandomState(0).randn(B, 32, 32, 3)
+                        .astype(jnp.bfloat16))
+        x.block_until_ready()
 
-        @jax.jit
-        def model_fwd(x):
-            return fmod16.apply(fvars, x.astype(jnp.bfloat16), train=False)
+        def step(carry, x):
+            s = dep_scalar(carry).astype(jnp.bfloat16)
+            return fmod16.apply(fvars, x * s,
+                                train=False).astype(jnp.bfloat16)
 
-        xs = [jnp.asarray(np.random.RandomState(s).randn(B, 32, 32, 3)
-                          .astype(np.float32)) for s in range(2)]
-        for x in xs:
-            float(x.sum())
+        init = jnp.zeros((B, 10), jnp.bfloat16)
         model_flops = B * 1.111e9
-        tf = measure(model_fwd, xs, model_flops)
+        tf = measure(step, init, (x,), model_flops)
         results["model bf16-folded"] = {
             "tflops": round(tf, 1), "mfu": round(tf / PEAK_TFLOPS, 3),
             "ips": round(tf * 1e12 / 1.111e9, 0),
@@ -200,7 +247,7 @@ def main():
         # decomposition explain the whole?)
         tot_flops = sum(r["model_flops"] for r in results.values()
                         if "model_flops" in r)
-        tot_time = sum(r["model_flops"] / (r["tflops"] * 1e12)
+        tot_time = sum(r["model_flops"] / (max(r["tflops"], 1e-4) * 1e12)
                        for r in results.values() if "model_flops" in r)
         pred = tot_flops / tot_time / 1e12
         results["flops-weighted-prediction"] = {
