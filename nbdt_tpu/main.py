@@ -108,6 +108,13 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 conv/matmul compute (params, BN, losses, "
                              "and NBDT node decisions stay f32)")
+    parser.add_argument("--bn-impl", default="f32", choices=["f32", "bf16"],
+                        help="BatchNorm batch-statistics dtype on the "
+                             "training path (ResNet/WRN families). bf16 "
+                             "halves the stat-reduction traffic: measured "
+                             "+13.5%% step rate on ResNet18, -2.6%% on "
+                             "WRN-28-10 (docs/PERFORMANCE.md); f32 is the "
+                             "torch-parity default. Checkpoint-compatible.")
     parser.add_argument("--mesh", action="store_true",
                         help="data-parallel over all local devices (batch "
                              "sharded over a dp mesh; params replicated)")
@@ -269,6 +276,11 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     module, variables = init_model(args.arch, num_classes, (image, image, 3),
                                    dtype=dtype)
+    if args.bn_impl != "f32":
+        if not hasattr(module, "bn_impl"):
+            raise SystemExit(f"--bn-impl is only supported by the "
+                             f"ResNet/WRN families, not {args.arch}")
+        module = module.clone(bn_impl=args.bn_impl)
 
     if args.pretrained or args.checkpoint_path:
         # Released-reference warm start (reference main.py:150-157 semantics:

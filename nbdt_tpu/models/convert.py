@@ -275,6 +275,53 @@ def _alexnet_key_to_path(key: str) -> Optional[Tuple[str, Tuple[str, ...], str]]
     return None
 
 
+def _vgg_layout(depth: int, bn: bool):
+    """torchvision VGG features.* Sequential indices -> Flax conv/bn
+    counters: conv at i, then (bn,) relu; 'M' maxpools occupy one slot."""
+    from .vgg import _CONFIGS
+
+    conv_at, bn_at, seq, i = {}, {}, 0, 0
+    for v in _CONFIGS[depth]:
+        if v == "M":
+            seq += 1
+            continue
+        conv_at[seq] = i
+        seq += 1
+        if bn:
+            bn_at[seq] = i
+            seq += 1
+        seq += 1  # ReLU
+        i += 1
+    return conv_at, bn_at
+
+
+def _make_vgg_mapper(depth: int, bn: bool):
+    """torchvision VGG keys -> Flax paths (models/vgg.py names). The MLP
+    head (classifier.{0,3,6}) maps onto the ``classic_head=True`` modules
+    fc1/fc2/classifier; collapsed-head models have no torchvision
+    checkpoint form (documented deviation, docs/ZOO.md)."""
+    conv_at, bn_at = _vgg_layout(depth, bn)
+
+    def mapper(key: str):
+        m = re.fullmatch(r"features\.(\d+)\.(\w+)", key)
+        if m:
+            idx, part = int(m.group(1)), m.group(2)
+            if idx in conv_at and part in ("weight", "bias"):
+                return ("params", (f"conv{conv_at[idx]}",),
+                        "conv" if part == "weight" else "bias")
+            if idx in bn_at and part in _BN_PARTS:
+                coll, leaf = _BN_PARTS[part]
+                return (coll, (f"bn{bn_at[idx]}",), "bn-" + leaf)
+            return None
+        m = re.fullmatch(r"classifier\.([036])\.(weight|bias)", key)
+        if m:
+            name = {"0": "fc1", "3": "fc2", "6": "classifier"}[m.group(1)]
+            return ("params", (name,), "linear-" + m.group(2))
+        return None
+
+    return mapper
+
+
 # train-only auxiliary classifier heads (GoogLeNet aux1/aux2, Inception v3
 # AuxLogits) — never part of eval logits, deliberately not built in Flax
 _AUX_PREFIXES = ("aux1.", "aux2.", "AuxLogits.")
@@ -375,6 +422,14 @@ _ARCH_MAPPERS = {
     "mnasnet0_75": _mnasnet_key_to_path,
     "mnasnet1_0": _mnasnet_key_to_path,
     "mnasnet1_3": _mnasnet_key_to_path,
+    "vgg11": _make_vgg_mapper(11, bn=False),
+    "vgg13": _make_vgg_mapper(13, bn=False),
+    "vgg16": _make_vgg_mapper(16, bn=False),
+    "vgg19": _make_vgg_mapper(19, bn=False),
+    "vgg11_bn": _make_vgg_mapper(11, bn=True),
+    "vgg13_bn": _make_vgg_mapper(13, bn=True),
+    "vgg16_bn": _make_vgg_mapper(16, bn=True),
+    "vgg19_bn": _make_vgg_mapper(19, bn=True),
 }
 
 
@@ -785,6 +840,26 @@ def _enumerate_torch_keys(params, stats, arch):
                 keys += [f"features.{name[1:]}.weight",
                          f"features.{name[1:]}.bias"]
         keys += [f"classifier.{i}.{p}" for i in (1, 4, 6)
+                 for p in ("weight", "bias")]
+        return keys
+    if arch.startswith("vgg"):
+        if "fc1" not in params:
+            raise ValueError(
+                f"{arch}: only classic_head=True VGG models have a "
+                "torchvision checkpoint form (the default collapsed head "
+                "is a documented deviation, docs/ZOO.md)")
+        bn = arch.endswith("_bn")
+        conv_at, bn_at = _vgg_layout(int(arch.replace("_bn", "")[3:]), bn)
+        conv_seq = {v: k for k, v in conv_at.items()}
+        bn_seq = {v: k for k, v in bn_at.items()}
+        for name in params:
+            if name.startswith("conv"):
+                i = conv_seq[int(name[4:])]
+                # torchvision VGG convs carry biases in both variants
+                keys += [f"features.{i}.weight", f"features.{i}.bias"]
+            elif name.startswith("bn"):
+                keys += [f"features.{bn_seq[int(name[2:])]}.{p}" for p in bn4]
+        keys += [f"classifier.{i}.{p}" for i in (0, 3, 6)
                  for p in ("weight", "bias")]
         return keys
     if arch in ("googlenet", "inception_v3"):

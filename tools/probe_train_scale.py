@@ -96,7 +96,8 @@ def main():
             classes=[f"c{i}" for i in range(num_classes)])
 
     def run_config(tag, arch, num_classes, dataset, image, batch, size,
-                   fwd_gflops, epochs=None, bn_impl="f32", eval_too=False):
+                   fwd_gflops, epochs=None, bn_impl="f32", eval_too=False,
+                   remat=False, augment=True):
         epochs = epochs or args.epochs
         t0 = time.time()
         module, variables = init_model(arch, num_classes, (image, image, 3))
@@ -116,7 +117,9 @@ def main():
         cfg = TrainConfig(dataset=dataset, arch=arch, batch_size=batch,
                           epochs=epochs, loss="SoftTreeSupLoss", lr=0.1,
                           checkpoint_dir="/tmp/probe-train-scale-ckpt",
-                          cache_dataset=True,
+                          cache_dataset=True, remat=remat,
+                          cache_crop_pad=4 if augment else 0,
+                          cache_flip=augment,
                           cache_steps_per_call=args.steps_per_call)
         tr = Trainer(cfg, module16, variables, tl, vl, tree=tree)
         log(f"{tag}: built in {time.time() - t0:.0f}s "
@@ -189,6 +192,24 @@ def main():
                        "resnet50", 1000, "Imagenet1000", 224,
                        args.in_batch // 2, args.in_size,
                        FWD_GFLOPS["resnet50"], eval_too=True)
+
+    # --- ImageNet-scale ablation ladder ------------------------------------
+    # The first imagenet measurement (b256: 23% MFU, vs 64-69% for the CIFAR
+    # recipes) needs a cause. Candidates, one axis at a time: HBM pressure
+    # (224px b256 resnet50 train activations overflow 16 GB -> XLA spills;
+    # probe smaller batches + remat), the in-jit augment at 224px, and BN
+    # stats at 224px spatial extents.
+    if "imagenet-ablate" in phases:
+        gf = FWD_GFLOPS["resnet50"]
+        common = dict(arch="resnet50", num_classes=1000,
+                      dataset="Imagenet1000", image=224, size=args.in_size,
+                      fwd_gflops=gf)
+        run_config("r50 b64", batch=64, **common)
+        run_config("r50 b128", batch=128, **common)
+        run_config("r50 b128 remat", batch=128, remat=True, **common)
+        run_config("r50 b256 remat", batch=256, remat=True, **common)
+        run_config("r50 b128 no-augment", batch=128, augment=False, **common)
+        run_config("r50 b128 bn-bf16", batch=128, bn_impl="bf16", **common)
 
     print(json.dumps(results), flush=True)
 
