@@ -413,14 +413,19 @@ class Superclass(DecisionRules):
     WordNet hypernym closure, mask unmapped logits, compare in superclass
     space. Requires the WordNet corpus unless ``mapping`` (a dict
     ``leaf wnid -> superclass index``, applied to both class spaces) is
-    given."""
+    given. ``mapping_test`` optionally overrides the mapping for the TEST
+    label space only — the offline analog of the reference's
+    ``--dataset-test`` flow, where unseen test categories map to a
+    superclass without existing in the prediction space at all (e.g.
+    exclude a trained-but-unseen class's wnid from ``mapping`` while its
+    samples' targets resolve through ``mapping_test``)."""
 
     name = "Superclass"
     Rules = SoftRules
 
     def __init__(self, *args, superclass_wnids, dataset_test=None, Rules=None,
                  tree=None, tree_test=None, metric=None, mapping=None,
-                 **kwargs):
+                 mapping_test=None, **kwargs):
         super().__init__(*args, tree=tree, Rules=Rules or self.Rules, **kwargs)
         rules_cls = Rules or self.Rules
         if tree_test is not None or dataset_test is not None:
@@ -430,7 +435,7 @@ class Superclass(DecisionRules):
         self.superclass_wnids = list(superclass_wnids)
         self.total = self.correct = 0
 
-        def resolve(wnids_leaves):
+        def resolve(wnids_leaves, mapping):
             if mapping is not None:
                 new_to_old = defaultdict(list)
                 arr = []
@@ -442,10 +447,11 @@ class Superclass(DecisionRules):
             return self.build_mapping(wnids_leaves, self.superclass_wnids)
 
         self.mapping_target, self.new_to_old_classes_target = resolve(
-            self.rules_test.tree.wnids_leaves
+            self.rules_test.tree.wnids_leaves,
+            mapping if mapping_test is None else mapping_test,
         )
         self.mapping_pred, self.new_to_old_classes_pred = resolve(
-            self.rules.tree.wnids_leaves
+            self.rules.tree.wnids_leaves, mapping
         )
         mapped = [
             self.classes[i] for i in np.flatnonzero(self.mapping_pred >= 0)
