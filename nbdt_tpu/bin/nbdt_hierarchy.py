@@ -37,6 +37,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--arch", default=None)
     parser.add_argument("--wnids-root", default="./nbdt_tpu/wnids")
     parser.add_argument("--hierarchies-root", default=None)
+    parser.add_argument("--force", action="store_true",
+                        help="allow overwriting a packaged hierarchy fixture "
+                             "(the vendored parity JSONs under "
+                             "nbdt_tpu/hierarchies/ are protected by default)")
     parser.add_argument("--vis-out-dir", default="out")
     parser.add_argument("--no-vis", action="store_true")
     # Visualization customization (reference graph.py --vis-* family).
@@ -135,24 +139,31 @@ def main(argv=None):
 
         centers = get_centers_from_flax_params(variables["params"])
 
-    path = generate_hierarchy(
-        dataset=args.dataset,
-        method=args.method,
-        seed=args.seed,
-        branching_factor=args.branching_factor,
-        extra=args.extra,
-        no_prune=args.no_prune,
-        fname=args.fname,
-        path=args.path,
-        single_path=args.single_path,
-        induced_linkage=args.induced_linkage,
-        induced_affinity=args.induced_affinity,
-        checkpoint=args.checkpoint,
-        arch=args.arch,
-        centers=centers,
-        wnids=wnids,
-        hierarchies_root=args.hierarchies_root,
-    )
+    try:
+        path = generate_hierarchy(
+            dataset=args.dataset,
+            method=args.method,
+            seed=args.seed,
+            branching_factor=args.branching_factor,
+            extra=args.extra,
+            no_prune=args.no_prune,
+            fname=args.fname,
+            path=args.path,
+            single_path=args.single_path,
+            induced_linkage=args.induced_linkage,
+            induced_affinity=args.induced_affinity,
+            checkpoint=args.checkpoint,
+            arch=args.arch,
+            centers=centers,
+            wnids=wnids,
+            hierarchies_root=args.hierarchies_root,
+            force=args.force,
+        )
+    except FileExistsError as e:
+        from ..utils import Colors
+
+        Colors.red(f"==> {e}")
+        raise SystemExit(1)
     test_hierarchy(args.dataset, path, wnids=wnids)
     wnid_to_image = None
     if args.vis_leaf_images and not args.no_vis:

@@ -290,6 +290,7 @@ def generate_hierarchy(
     wnids: Optional[Sequence[str]] = None,
     wnids_root: str = "./nbdt_tpu/wnids",
     hierarchies_root: Optional[str] = None,
+    force: bool = False,
     **kwargs,
 ) -> str:
     """Build, post-process, and write a hierarchy. Returns the JSON path."""
@@ -358,9 +359,35 @@ def generate_hierarchy(
         arch=arch,
         root=hierarchies_root,
     )
+    _guard_vendored_fixture(path, force)
     write_graph(G, path)
     Colors.green("==> Wrote tree to {}".format(path))
     return path
+
+
+def _guard_vendored_fixture(path, force: bool) -> None:
+    """Refuse to overwrite a packaged hierarchy JSON without force=True.
+
+    The files under nbdt_tpu/hierarchies/ are the vendored parity fixtures
+    (digest-tested vs the reference's shipped graphs by tests/test_assets.py);
+    the reference CLI writes into its package root unconditionally
+    (hierarchy.py:107-127), which means its documented quick-start silently
+    clobbers a shipped graph with a random-init one. Here that requires an
+    explicit --force; --hierarchies-root/--path remain the clean escape.
+    """
+    if force:
+        return
+    from ..utils import fwd
+
+    target = Path(path).resolve()
+    pkg_hierarchies = (Path(fwd()) / "hierarchies").resolve()
+    if target.exists() and target.is_relative_to(pkg_hierarchies):
+        raise FileExistsError(
+            f"refusing to overwrite packaged hierarchy fixture {target} "
+            "(a vendored parity asset). Pass force=True / --force to "
+            "overwrite, or direct output elsewhere with "
+            "--hierarchies-root/--path."
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -130,11 +130,24 @@ def enable_compilation_cache(path: str | None = None) -> None:
     try:
         import jax
 
-        platforms = jax.config.read("jax_platforms") or _os.environ.get(
+        # NOTE: jax.config.read("jax_platforms") raises AttributeError for
+        # contextmanager-backed flags in this jax version (which the blanket
+        # except below would swallow, silently disabling the cache even on
+        # TPU) — attribute access is the supported read.
+        platforms = jax.config.jax_platforms or _os.environ.get(
             "JAX_PLATFORMS", ""
         )
         if platforms and set(platforms.split(",")) <= {"cpu"}:
             return  # CPU-only process: AOT reuse is unsafe and unneeded
+        if "axon" in (platforms or "") and not env:
+            # The axon tunnel plugin stalls on persisting larger executables:
+            # with the cache on, the first scanned-conv compile of
+            # tools/probe_conv224.py hung >20 minutes (two runs, one
+            # detached and one foreground) while the identical program
+            # compiled in ~25 s with the cache off; toy compiles persist
+            # fine, so the round-3 toy-verification missed it. Opt back in
+            # by pointing $NBDT_COMPILE_CACHE at a directory.
+            return
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
     except Exception:

@@ -617,9 +617,10 @@ def test_get_mean_and_std_constant_dataset():
 
 
 def test_compilation_cache_machine_keyed(monkeypatch, tmp_path):
-    """The default cache dir is keyed by a machine fingerprint so CPU AOT
-    entries compiled on a different host (different vector extensions)
-    never load — the observed cross-machine SIGILL-warning source."""
+    """Contract since the CPU-skip change (utils.py enable_compilation_cache):
+    CPU-only processes never set a cache dir (XLA:CPU AOT reuse is unsafe
+    across hosts — the observed SIGILL-warning source); non-CPU processes
+    get a dir keyed by the machine fingerprint as a second line of defense."""
     import jax
 
     from nbdt_tpu.utils import _machine_tag, enable_compilation_cache
@@ -633,7 +634,35 @@ def test_compilation_cache_machine_keyed(monkeypatch, tmp_path):
         jax.config, "update",
         lambda k, v: captured.__setitem__(k, v),
     )
+
+    # 1) CPU-only process (the test-suite environment): cache must stay off.
+    assert (jax.config.jax_platforms or "cpu") == "cpu"
+    enable_compilation_cache()
+    assert "jax_compilation_cache_dir" not in captured
+
+    # 2) The axon tunnel stalls persisting larger executables (round-5
+    # finding: first scanned-conv compile hung >20 min with the cache on,
+    # ~25 s off) — default off there too, opt back in via the env var.
+    monkeypatch.setattr(
+        type(jax.config), "jax_platforms", property(lambda self: "axon,cpu")
+    )
+    enable_compilation_cache()
+    assert "jax_compilation_cache_dir" not in captured
+
+    # 3) Real (non-axon) TPU process: machine-keyed dir is set.
+    monkeypatch.setattr(
+        type(jax.config), "jax_platforms", property(lambda self: "tpu")
+    )
     enable_compilation_cache()
     assert captured["jax_compilation_cache_dir"].endswith(
         f"jax_cache-{tag}"
     )
+
+    # 4) Explicit env override wins everywhere (axon included).
+    monkeypatch.setattr(
+        type(jax.config), "jax_platforms", property(lambda self: "axon,cpu")
+    )
+    monkeypatch.setenv("NBDT_COMPILE_CACHE", str(tmp_path / "cc"))
+    captured.clear()
+    enable_compilation_cache()
+    assert captured["jax_compilation_cache_dir"] == str(tmp_path / "cc")

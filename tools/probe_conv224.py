@@ -221,6 +221,10 @@ def main():
         "gbps": round(byts / (dt / (K * args.iters)) / 1e9, 1),
         "pct_of_hbm": round(byts / (dt / (K * args.iters)) / 1e9 / HBM_GBPS,
                             3),
+        "note": "bytes assume pool-in + pool-out only; the x*s loop "
+                "dependency may materialize an extra 112px copy if XLA "
+                "does not fuse it into reduce_window, understating GB/s "
+                "by up to ~1.5x",
     }
     log(f"maxpool: {ms:.3f} ms "
         f"({results['maxpool 112->56px 3x3s2 C64']['gbps']} GB/s)")
@@ -251,7 +255,10 @@ def main():
     x = jnp.asarray(np.random.RandomState(0).randn(B, 230, 230, 3)
                     .astype(jnp.bfloat16))  # pre-padded
     x.block_until_ready()
-    bias16 = jnp.asarray(bias)
+    # bf16 bias so both stem variants fuse the same dtype chain (an f32
+    # bias here upcast the whole [B,112,112,64] activation before relu,
+    # penalizing exactly the variant this probe exists to evaluate).
+    bias16 = jnp.asarray(bias, jnp.bfloat16)
 
     def s2d_step(carry, x, w4b=w4b):
         s = dep_scalar(carry).astype(jnp.bfloat16)
@@ -307,8 +314,13 @@ def main():
         print(json.dumps({"model": results["model bf16-folded"]}),
               flush=True)
 
-        tot_time = sum(r["model_flops"] / (max(r["tflops"], 1e-4) * 1e12)
-                       for r in results.values() if "model_flops" in r)
+    # FLOPs-weighted prediction needs only the per-shape rows (parts 1-3),
+    # so report it even under --skip-model.
+    conv_flops = sum(r["model_flops"] for r in results.values()
+                     if "model_flops" in r)
+    tot_time = sum(r["model_flops"] / (max(r["tflops"], 1e-4) * 1e12)
+                   for r in results.values() if "model_flops" in r)
+    if tot_time:
         pred = conv_flops / tot_time / 1e12
         results["flops-weighted-prediction"] = {
             "tflops": round(pred, 1),
