@@ -111,6 +111,9 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip-model", action="store_true")
+    ap.add_argument("--only-model", action="store_true",
+                    help="skip the per-shape scan/maxpool/s2d parts; time "
+                         "just the whole folded model (batch-scaling runs)")
     args = ap.parse_args()
 
     from nbdt_tpu.utils import enable_compilation_cache, maybe_set_platform
@@ -157,7 +160,8 @@ def main():
     import flax.linen as nn
 
     # --- 1. per-shape native conv rates ---------------------------------
-    for tag, h, cin, cout, k, stride, count in CONVS:
+    for tag, h, cin, cout, k, stride, count in ([] if args.only_model
+                                                else CONVS):
         conv = nn.Conv(cout, (k, k), strides=(stride, stride), padding=k // 2,
                        use_bias=True, dtype=jnp.bfloat16)
         v = conv.init(jax.random.PRNGKey(0), jnp.zeros((1, h, h, cin),
@@ -188,6 +192,36 @@ def main():
             f"{tf / bound:.0%} of roofline {bound:.0f})")
         print(json.dumps({tag: results[tag]}), flush=True)
         del x, init
+
+    if args.only_model:
+        from nbdt_tpu.models import init_model
+        from nbdt_tpu.models.fold import fold_batchnorm
+
+        module, variables = init_model("resnet50", 1000, (224, 224, 3))
+        fmod, fvars = fold_batchnorm(module, variables)
+        fmod16 = fmod.clone(dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.RandomState(0).randn(B, 224, 224, 3)
+                        .astype(jnp.bfloat16))
+        x.block_until_ready()
+
+        def step(carry, x):
+            s = dep_scalar(carry).astype(jnp.bfloat16)
+            return fmod16.apply(fvars, x * s,
+                                train=False).astype(jnp.bfloat16)
+
+        init = jnp.zeros((B, 1000), jnp.bfloat16)
+        conv_flops = sum(
+            2 * B * ((h + s - 1) // s) ** 2 * k * k * ci * co * cnt
+            for _, h, ci, co, k, s, cnt in CONVS
+        )
+        model_flops = conv_flops + 2 * B * 2048 * 1000
+        tf = measure(step, init, (x,), model_flops)
+        r = {"tflops": round(tf, 1), "mfu": round(tf / PEAK_TFLOPS, 3),
+             "ips": round(tf * 1e12 / (model_flops / B), 0), "batch": B}
+        log(f"model b{B}: {tf:.1f} TFLOP/s ({tf / PEAK_TFLOPS:.0%} MFU, "
+            f"{r['ips']:.0f} imgs/s)")
+        print(json.dumps({f"model bf16-folded b{B}": r}), flush=True)
+        return
 
     # --- 2. the stem-side maxpool (bytes, not FLOPs) ---------------------
     x = jnp.asarray(np.random.RandomState(0).randn(B, 112, 112, 64)

@@ -43,7 +43,10 @@ PEAK_TFLOPS = 197.0  # v5e bf16
 #                     stage3 3.566 = 10.49 (matches docs/PERFORMANCE.md)
 #   ResNet50 @ 224px: the standard 4.09 GMAC torchvision count
 #   ResNet18 @ 32px (CIFAR): 1.111 (docs/PERFORMANCE.md)
-FWD_GFLOPS = {"wrn28_10_cifar10": 10.49, "resnet50": 8.18, "ResNet18": 1.111}
+#   wrn28_10 @ 64px (TinyImagenet200 variant, adaptive pool): every conv
+#   stage runs at 4x the 32px spatial extent -> 4 x 10.49 = 41.96
+FWD_GFLOPS = {"wrn28_10_cifar10": 10.49, "resnet50": 8.18, "ResNet18": 1.111,
+              "wrn28_10": 41.96}
 
 
 def log(*a):
@@ -177,6 +180,22 @@ def main():
                 f"({a['ms_step']:.1f} -> {b['ms_step']:.1f} ms/step)")
             print(json.dumps({f"bn-speedup {arch}": round(speedup, 3)}),
                   flush=True)
+
+    # --- TinyImagenet-scale: WRN-28-10 @ 64px (reference tsw=10 recipe,
+    # scripts/gen_train_eval_wideresnet.sh + main.py batch default 512) —
+    # completes the per-scale training ladder between CIFAR (32px) and
+    # ImageNet (224px), and settles the per-scale --bn-impl default.
+    if "tiny" in phases:
+        gf = FWD_GFLOPS["wrn28_10"]
+        size = min(args.wrn_size, 12800)  # 64px store: 12.8k imgs = 157 MB
+        a = run_config("wrn28_10 64px b512 (tiny recipe)", "wrn28_10", 200,
+                       "TinyImagenet200", 64, 512, size, gf, eval_too=True)
+        b = run_config("wrn28_10 64px b512 bn-bf16", "wrn28_10", 200,
+                       "TinyImagenet200", 64, 512, size, gf, bn_impl="bf16")
+        speedup = a["ms_step"] / b["ms_step"]
+        log(f"bn probe wrn28_10@64px: bf16 stats {speedup:.3f}x")
+        print(json.dumps({"bn-speedup wrn28_10@64px": round(speedup, 3)}),
+              flush=True)
 
     # --- ImageNet-scale train step ----------------------------------------
     if "imagenet" in phases:
