@@ -26,6 +26,15 @@ against lax.conv_general_dilated on-chip before timing. Timing uses the
 scan-amortized discipline (K iterations in one jit with a weight-scalar
 data dependency; per-dispatch tunnel overhead otherwise drowns the op).
 
+MEASURED OUTCOME (round 5, v5e, batch 8192): recorded NEGATIVE — see
+docs/PERFORMANCE.md "The hand-written Mosaic conv at L1". A/B compile and
+hit exact parity on-chip but reach only 32%/34% MFU vs native XLA's 60%
+in the same session (tb=8 within 2 points of tb=4); C OOMs VMEM at tb=4
+(18.3M/16M). The in-kernel window assembly (rotate+concat+casts) is VPU
+work serialized against the MXU and costs more than the HBM re-reads it
+saves. The five Mosaic restrictions that shaped the surviving code are
+documented in _pad_hw/_im2col_dx and the kernel-body comments.
+
 Usage: python tools/probe_pallas_conv.py [--batch 8192] [--scan-k 12]
 """
 
@@ -86,16 +95,46 @@ def pack_w_full(w):
     return np.asarray(w, np.float32).reshape(KH * KW * C, C)
 
 
+WPAD = 40  # padded W: dynamic rotate needs the rotated dim 8-sublane-aligned
+
+
 def _pad_hw(x, jnp):
-    """[TB,32,32,64] -> [TB,34,34,64] zero-padded (VMEM-local)."""
-    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    """[TB,32,32,64] -> [TB,34,WPAD,64] zero-padded (VMEM-local).
+
+    W pads to WPAD=40, not 34: Mosaic's tpu.dynamic_rotate rejects a
+    34-wide sublane dim ("unsupported unaligned shape") — the rotated dim
+    must be a multiple of the 8-sublane f32 tile. The extra 6 columns are
+    sliced away before the matmul."""
+    return jnp.pad(x, ((0, 0), (1, 1), (1, 1 + WPAD - H - 2), (0, 0)))
 
 
-def _im2col_dx(xp, jnp):
-    """[TB,34,34,64] -> [TB,34,32,192]: per padded row, the 3 dx shifts."""
-    return jnp.concatenate(
-        [xp[:, :, 0:W], xp[:, :, 1:W + 1], xp[:, :, 2:W + 2]], axis=-1
-    )
+def _im2col_dx(xp, shifts_ref, jnp, pltpu):
+    """[TB,34,34,64] -> [TB,34,32,192]: per padded row, the 3 dx shifts.
+
+    Mosaic cannot concatenate along lanes when the operands sit at different
+    sublane offsets (xp[:, :, dx:dx+W] has offset dx) — "result/input offset
+    mismatch on non-concat dimension". Realign first: a circular roll by -dx
+    along W brings every window to offset 0, then all three slices start at
+    row 0 and the lane-dim concat is legal. The wrapped-around halo rows land
+    at W..33 and are sliced away.
+
+    Three Mosaic restrictions measured on-chip shape this code:
+    1. rotate is 32-bit only ("Rotate with non-32-bit data" on bf16) — so
+       the rolls happen on an f32 upcast, downcast after the concat (exact:
+       bf16->f32->bf16 round-trips);
+    2. a STATIC roll+slice is canonicalized straight back into the offset
+       slice it replaces (attempt 3/5 errors show the identical
+       {0,0},{1,64},{2,0} in_layouts with and without the roll) — so the
+       shift amount comes from SMEM at runtime, which the folder cannot see
+       through, and every rotate output genuinely lands at offset (0,0);
+    3. the lane concat itself only rejects offset mismatches on NON-concat
+       dims, which all-zero offsets satisfy."""
+    xp32 = xp.astype(jnp.float32)
+    shifts = [xp32 if dx == 0 else
+              pltpu.roll(xp32, shift=shifts_ref[0, dx], axis=2)
+              for dx in range(KW)]
+    p32 = jnp.concatenate([s[:, :, 0:W] for s in shifts], axis=-1)
+    return p32.astype(jnp.bfloat16)
 
 
 def make_kernel_a(tb):
@@ -104,21 +143,31 @@ def make_kernel_a(tb):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(x_ref, w_ref, b_ref, o_ref):
+    def kernel(s_ref, x_ref, w_ref, b_ref, o_ref):
         xp = _pad_hw(x_ref[...], jnp)
-        p = _im2col_dx(xp, jnp).reshape(tb * (H + 2) * W, KW * C)
+        p = _im2col_dx(xp, s_ref, jnp, pltpu).reshape(
+            tb * (H + 2) * W, KW * C)
         q = jnp.dot(p, w_ref[...], preferred_element_type=jnp.float32)
-        q = q.reshape(tb, H + 2, W, KH, C)
-        out = q[:, 0:H, :, 0] + q[:, 1:H + 1, :, 1] + q[:, 2:H + 2, :, 2]
+        # Keep lanes=192 (the 5-D reshape splitting 192 -> 3x64 is an
+        # "unsupported shape cast" in Mosaic); dy chunks come off as lane
+        # slices, realigned by 32-bit f32 lane rotates in the adds.
+        q = q.reshape(tb, H + 2, W, KH * C)
+        out = (q[:, 0:H, :, 0:C] + q[:, 1:H + 1, :, C:2 * C]
+               + q[:, 2:H + 2, :, 2 * C:3 * C])
         out = jnp.maximum(out + b_ref[...], 0.0)
         o_ref[...] = out.astype(jnp.bfloat16)
 
     def call(x, wpk, b):
         n = x.shape[0]
+        shifts = jnp.asarray(
+            [[0] + [WPAD - k for k in range(1, KW)],     # axis 2 (W, padded)
+             [0] + [H + 2 - k for k in range(1, KW)]],   # axis 1 (H)
+            dtype=jnp.int32)
         return pl.pallas_call(
             kernel,
             grid=(n // tb,),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((tb, H, W, C), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((KW * C, KH * C), lambda i: (0, 0),
@@ -135,7 +184,7 @@ def make_kernel_a(tb):
                 bytes_accessed=2 * 2 * n * H * W * C,
                 transcendentals=0,
             ),
-        )(x, wpk, b)
+        )(shifts, x, wpk, b)
 
     return call
 
@@ -149,9 +198,9 @@ def make_kernel_b(tb):
     G = (H + 2) // 2  # 17 row pairs of padded rows
     NP = H // 2  # 16 output row pairs
 
-    def kernel(x_ref, w_ref, b_ref, o_ref):
+    def kernel(s_ref, x_ref, w_ref, b_ref, o_ref):
         xp = _pad_hw(x_ref[...], jnp)
-        p = _im2col_dx(xp, jnp)  # [tb, 34, 32, 192]
+        p = _im2col_dx(xp, s_ref, jnp, pltpu)  # [tb, 34, 32, 192]
         # pack rows j=0..3 for output pair g: padded rows 2g..2g+3
         # (even-strided row pick expressed as reshape+take — Mosaic-safe)
         def pick_even(j):
@@ -164,38 +213,50 @@ def make_kernel_b(tb):
         p4 = jnp.concatenate(
             [pick_even(j) for j in range(4)], axis=-1,
         )  # [tb, 16, 32, 768] — row j chunk = p[:, 2g+j]
+        # Keep lanes=128 post-dot (5-D lane-splitting reshape is an
+        # unsupported Mosaic shape cast); the two parities come off as lane
+        # slices and go out through indexed stores — the (g,parity)->h=2g+p
+        # interleave is a host-side reshape of the (n,NP,2,W,C) output.
         q = jnp.dot(
             p4.reshape(tb * NP * W, 4 * KW * C), w_ref[...],
             preferred_element_type=jnp.float32,
-        ).reshape(tb, NP, W, 2, C)
-        out = jnp.maximum(q + b_ref[...], 0.0)
-        # (g, parity) -> h = 2g + parity
-        out = out.transpose(0, 1, 3, 2, 4).reshape(tb, H, W, C)
-        o_ref[...] = out.astype(jnp.bfloat16)
+        ).reshape(tb, NP, W, 2 * C)
+        e0 = jnp.maximum(q[..., 0:C] + b_ref[...], 0.0)
+        e1 = jnp.maximum(q[..., C:2 * C] + b_ref[...], 0.0)
+        o_ref[:, :, 0] = e0.astype(jnp.bfloat16)
+        o_ref[:, :, 1] = e1.astype(jnp.bfloat16)
 
     def call(x, wpk, b):
         n = x.shape[0]
-        return pl.pallas_call(
+        shifts = jnp.asarray(
+            [[0] + [WPAD - k for k in range(1, KW)],     # axis 2 (W, padded)
+             [0] + [H + 2 - k for k in range(1, KW)]],   # axis 1 (H)
+            dtype=jnp.int32)
+        out = pl.pallas_call(
             kernel,
             grid=(n // tb,),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((tb, H, W, C), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4 * KW * C, 2 * C), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, 1, C), lambda i: (0, 0, 0, 0, 0),
+                pl.BlockSpec((1, C), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((tb, H, W, C), lambda i: (i, 0, 0, 0),
+            out_specs=pl.BlockSpec((tb, NP, 2, W, C),
+                                   lambda i: (i, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n, H, W, C), jnp.bfloat16),
+            out_shape=jax.ShapeDtypeStruct((n, NP, 2, W, C), jnp.bfloat16),
             interpret=INTERPRET,
             cost_estimate=pl.CostEstimate(
                 flops=2 * n * NP * W * (4 * KW * C) * (2 * C),
                 bytes_accessed=2 * 2 * n * H * W * C,
                 transcendentals=0,
             ),
-        )(x, wpk, b)
+        )(shifts, x, wpk, b)
+        # (g, parity) -> h = 2g + parity: plain row-major collapse
+        return out.reshape(n, H, W, C)
 
     return call, G
 
@@ -206,13 +267,29 @@ def make_kernel_c(tb):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(x_ref, w_ref, b_ref, o_ref):
+    def kernel(s_ref, x_ref, w_ref, b_ref, o_ref):
         xp = _pad_hw(x_ref[...], jnp)
-        p = _im2col_dx(xp, jnp)  # [tb, 34, 32, 192]
-        # dy im2col on top: rows h..h+2 of p -> [tb, 32, 32, 576]
+        # Full dy+dx im2col in ONE 9-operand concat: every window is
+        # realigned to offset (0,0) first — f32 rolls (32-bit-only rotate)
+        # by RUNTIME shifts from SMEM (static roll+slice is canonicalized
+        # back into the offset slice; see _im2col_dx) — then sliced from
+        # the origin.
+        xp32 = xp.astype(jnp.float32)
+
+        def window(dy, dx):
+            s = xp32 if dx == 0 else pltpu.roll(
+                xp32, shift=s_ref[0, dx], axis=2)
+            if dy:
+                s = pltpu.roll(s, shift=s_ref[1, dy], axis=1)
+            return s[:, 0:H, 0:W]
+
+        # concat in f32 (lane-only offset staggering), downcast after —
+        # a bf16 lane concat is rejected by layout inference (see
+        # _im2col_dx docstring).
         p9 = jnp.concatenate(
-            [p[:, 0:H], p[:, 1:H + 1], p[:, 2:H + 2]], axis=-1
-        )
+            [window(dy, dx) for dy in range(KH) for dx in range(KW)],
+            axis=-1,
+        ).astype(jnp.bfloat16)  # [tb, 32, 32, 576]
         q = jnp.dot(
             p9.reshape(tb * H * W, KH * KW * C), w_ref[...],
             preferred_element_type=jnp.float32,
@@ -221,10 +298,15 @@ def make_kernel_c(tb):
 
     def call(x, wpk, b):
         n = x.shape[0]
+        shifts = jnp.asarray(
+            [[0] + [WPAD - k for k in range(1, KW)],     # axis 2 (W, padded)
+             [0] + [H + 2 - k for k in range(1, KW)]],   # axis 1 (H)
+            dtype=jnp.int32)
         return pl.pallas_call(
             kernel,
             grid=(n // tb,),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((tb, H, W, C), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((KH * KW * C, C), lambda i: (0, 0),
@@ -241,7 +323,7 @@ def make_kernel_c(tb):
                 bytes_accessed=2 * 2 * n * H * W * C,
                 transcendentals=0,
             ),
-        )(x, wpk, b)
+        )(shifts, x, wpk, b)
 
     return call
 
@@ -253,10 +335,13 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--tb", type=int, default=4, help="batch tile per grid cell")
     ap.add_argument("--parity-batch", type=int, default=64)
+    ap.add_argument("--platform", default="cpu" if INTERPRET else None)
     args = ap.parse_args()
 
-    from nbdt_tpu.utils import enable_compilation_cache
+    from nbdt_tpu.utils import enable_compilation_cache, maybe_set_platform
 
+    if args.platform:
+        maybe_set_platform(args.platform)
     enable_compilation_cache()
 
     import jax
@@ -297,7 +382,7 @@ def main():
     kb, _ = make_kernel_b(args.tb)
     cand["B row-pair 768x128"] = (
         kb, jnp.asarray(pack_w_rowpair(w), jnp.bfloat16),
-        jnp.asarray(bias, jnp.float32).reshape(1, 1, 1, 1, C),
+        jnp.asarray(bias, jnp.float32).reshape(1, C),
         2 * (H // 2) * W * (4 * KW * C) * (2 * C),
     )
     cand["C full-im2col 576x64"] = (
