@@ -39,6 +39,10 @@ T0 = time.time()
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batches", default=None,
+                    help="comma-separated batch sizes measured in ONE "
+                         "session (overrides --batch); the round-5 "
+                         "batch-scaling rung")
     ap.add_argument("--image", type=int, default=224)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--arch", default="vit_b16")
@@ -65,7 +69,9 @@ def main():
     from nbdt_tpu.tree import Tree
 
     log(f"backend: {jax.default_backend()}")
-    px, batch = args.image, args.batch
+    px = args.image
+    batches = ([int(b) for b in args.batches.split(",")]
+               if args.batches else [args.batch])
 
     module, variables = init_model(args.arch, 10, (px, px, 3))
     wnids = get_dataset_wnids("CIFAR10")
@@ -88,15 +94,17 @@ def main():
         want = set(args.variants.split(","))
         LADDER = [(n, kw) for n, kw in LADDER if n in want]
 
-    xs = [jnp.asarray(np.random.RandomState(s).randn(
-        batch, px, px, 3).astype(np.float32)) for s in range(2)]
-    for x in xs:
-        float(x.sum())
-    log("inputs materialized")
-
     results = {}
-    ref_arg = None
-    for name, kw in LADDER:
+    for batch in batches:
+      xs = [jnp.asarray(np.random.RandomState(s).randn(
+          batch, px, px, 3).astype(np.float32)) for s in range(2)]
+      for x in xs:
+          float(x.sum())
+      log(f"inputs materialized (batch {batch})")
+
+      ref_arg = None
+      for name, kw in LADDER:
+        key = name if len(batches) == 1 else f"{name}@b{batch}"
         try:
             m16 = get_model(args.arch, 10, dtype=jnp.bfloat16, **kw)
 
@@ -130,13 +138,13 @@ def main():
             one_pass()  # warm
             dt = min(one_pass(), one_pass(), one_pass())
             ips = batch * args.iters / dt
-            results[name] = {"ips": round(ips, 1), "parity": parity}
-            log(f"{name}: {ips:,.0f} imgs/s")
-            print(json.dumps({name: results[name]}), flush=True)
+            results[key] = {"ips": round(ips, 1), "parity": parity}
+            log(f"{key}: {ips:,.0f} imgs/s")
+            print(json.dumps({key: results[key]}), flush=True)
         except Exception as e:
-            log(f"{name} FAILED: {type(e).__name__}: {e}")
-            results[name] = {"error": f"{type(e).__name__}: {e}"}
-            print(json.dumps({name: results[name]}), flush=True)
+            log(f"{key} FAILED: {type(e).__name__}: {e}")
+            results[key] = {"error": f"{type(e).__name__}: {e}"}
+            print(json.dumps({key: results[key]}), flush=True)
     print(json.dumps(results), flush=True)
 
 
