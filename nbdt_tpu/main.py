@@ -108,13 +108,17 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 conv/matmul compute (params, BN, losses, "
                              "and NBDT node decisions stay f32)")
-    parser.add_argument("--bn-impl", default="f32", choices=["f32", "bf16"],
+    parser.add_argument("--bn-impl", default="auto",
+                        choices=["auto", "f32", "bf16"],
                         help="BatchNorm batch-statistics dtype on the "
                              "training path (ResNet/WRN families). bf16 "
-                             "halves the stat-reduction traffic: measured "
-                             "+13.5%% step rate on ResNet18, -2.6%% on "
-                             "WRN-28-10 (docs/PERFORMANCE.md); f32 is the "
-                             "torch-parity default. Checkpoint-compatible.")
+                             "halves the stat-reduction traffic; measured "
+                             "per scale (docs/PERFORMANCE.md): +13.5%% "
+                             "ResNet18@32px, -2.6%% WRN@32px, +4.6%% "
+                             "WRN@64px, +19%% ResNet50@224px. auto (the "
+                             "default) picks bf16 for >=64px images and "
+                             "f32 at 32px (torch-parity scale). "
+                             "Checkpoint-compatible either way.")
     parser.add_argument("--mesh", action="store_true",
                         help="data-parallel over all local devices (batch "
                              "sharded over a dp mesh; params replicated)")
@@ -141,6 +145,22 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
     return parser
+
+
+def resolve_bn_impl(bn_impl: str, module, image: int) -> str:
+    """Resolve --bn-impl auto to the measured per-scale default.
+
+    BN batch statistics in the stream dtype (bf16) halve the
+    stat-reduction HBM traffic; the win grows with spatial size
+    (docs/PERFORMANCE.md "BN-statistics probe"): +13.5% ResNet18@32px,
+    -2.6% WRN-28-10@32px, +4.6% WRN-28-10@64px, +19% ResNet50@224px.
+    auto picks bf16 for >=64px images on archs that expose the knob, and
+    f32 at 32px — the scale where the only measured negative lives and
+    where the torch train-trajectory parity suite runs. Explicit
+    f32/bf16 pass through untouched."""
+    if bn_impl != "auto":
+        return bn_impl
+    return "bf16" if image >= 64 and hasattr(module, "bn_impl") else "f32"
 
 
 def build_datasets(args):
@@ -276,6 +296,7 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     module, variables = init_model(args.arch, num_classes, (image, image, 3),
                                    dtype=dtype)
+    args.bn_impl = resolve_bn_impl(args.bn_impl, module, image)
     if args.bn_impl != "f32":
         if not hasattr(module, "bn_impl"):
             raise SystemExit(f"--bn-impl is only supported by the "

@@ -391,6 +391,34 @@ def test_main_cli_bn_impl(tmp_path):
         ])
 
 
+def test_bn_impl_auto_resolution(tmp_path):
+    """--bn-impl auto (the default) resolves per the measured per-scale
+    rule (docs/PERFORMANCE.md "BN-statistics probe"): bf16 for >=64px
+    images on archs exposing the knob, f32 at 32px and on archs without
+    it; explicit values pass through."""
+    from nbdt_tpu.main import main, resolve_bn_impl
+    from nbdt_tpu.models import get_model
+
+    wrn = get_model("wrn28_10", 200)
+    vit = get_model("vit_s16", 200)
+    assert resolve_bn_impl("auto", wrn, 64) == "bf16"
+    assert resolve_bn_impl("auto", wrn, 224) == "bf16"
+    assert resolve_bn_impl("auto", wrn, 32) == "f32"
+    assert resolve_bn_impl("auto", vit, 224) == "f32"  # no knob -> no raise
+    assert resolve_bn_impl("f32", wrn, 224) == "f32"
+    assert resolve_bn_impl("bf16", wrn, 32) == "bf16"
+
+    # end-to-end: the default trains a 64px arch (auto -> bf16) without
+    # the explicit flag, including archs WITHOUT the knob (auto -> f32).
+    acc = main([
+        "--dataset", "TinyImagenet200", "--arch", "ResNet10", "--synthetic",
+        "--loss", "CrossEntropyLoss", "--epochs", "1", "--batch-size", "8",
+        "--bf16", "--platform", "cpu",
+        "--checkpoint-dir", str(tmp_path), "--no-progress",
+    ])
+    assert 0 <= acc <= 100
+
+
 def test_main_cli_orbax_resume(tmp_path, capsys):
     """--checkpoint-backend orbax drives the orbax backend end-to-end from
     the reference-parity CLI, and the --resume scan is backend-aware (finds
