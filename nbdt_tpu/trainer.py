@@ -601,6 +601,29 @@ class Trainer:
         # resume) is seen as a change and rebuilds the step.
         self.criterion_state = criterion_state
 
+        if tree is None and config.loss != "CrossEntropyLoss":
+            # Resolve the hierarchy from the config, like the reference's
+            # TreeSupLoss does from dataset/hierarchy (loss.py:135-142) —
+            # callers shouldn't have to pre-build a Tree the config already
+            # describes. Class names come from the train set when it carries
+            # them (matches main.py's construction).
+            if config.path_graph or config.hierarchy:
+                from .tree import Tree
+
+                dataset = _unwrap_loader(trainloader).dataset
+                tree = Tree(
+                    config.dataset,
+                    path_graph=config.path_graph,
+                    path_wnids=config.path_wnids,
+                    classes=list(getattr(dataset, "classes", []) or []) or None,
+                    hierarchy=config.hierarchy,
+                )
+            else:
+                raise ValueError(
+                    f"{config.loss} needs a hierarchy: pass tree=, or set "
+                    f"TrainConfig.path_graph / TrainConfig.hierarchy"
+                )
+            self.tree = tree
         jt = None
         if tree is not None and config.loss != "CrossEntropyLoss":
             from .rules import to_device_tree
@@ -1144,6 +1167,16 @@ class Trainer:
                     f"({stats.get('time', 0):.1f}s)"
                 )
         return self.best_acc
+
+    @property
+    def variables(self):
+        """Current model variables in Flax ``apply`` form — the dict
+        ``NBDT(..., params=...)`` and ``module.apply`` expect. The values are
+        the live (donated-into) training buffers; copy before mutating."""
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
 
     # -- checkpointing (reference main.py:299-307 + utils codec) -------------
 

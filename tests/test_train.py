@@ -954,3 +954,59 @@ def test_generalization_on_learnable_synthetic(synthetic_tree, tmp_path):
         total += int(np.asarray(valid).sum())
     nbdt_acc = correct / total * 100
     assert nbdt_acc >= 80.0, f"NBDT held-out accuracy {nbdt_acc}%"
+
+
+def test_trainer_resolves_tree_from_config(tiny_setup, synthetic_tree, tmp_path):
+    """Trainer builds the Tree itself from TrainConfig.path_graph/path_wnids
+    (reference TreeSupLoss resolves dataset/hierarchy the same way,
+    loss.py:135-142) — callers no longer must pre-build one."""
+    from nbdt_tpu.hierarchy.digraph import write_graph
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables, tl, vl = tiny_setup
+    path_graph = tmp_path / "graph-test.json"
+    write_graph(synthetic_tree.G, path_graph)
+    path_wnids = tmp_path / "wnids.txt"
+    path_wnids.write_text("".join(w + "\n" for w in synthetic_tree.wnids_leaves))
+
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=1, loss="SoftTreeSupLoss",
+                      path_graph=str(path_graph), path_wnids=str(path_wnids),
+                      checkpoint_dir=str(tmp_path))
+    tr = Trainer(cfg, module, variables, tl, vl)
+    assert tr.tree is not None and tr.jt is not None
+    assert tr.tree.wnids_leaves == synthetic_tree.wnids_leaves
+    # Class names came from the train set, like main.py's construction.
+    assert tr.tree.classes == list(tl.dataset.classes)
+
+
+def test_trainer_tree_loss_without_hierarchy_raises(tiny_setup, tmp_path):
+    """A tree loss with no tree=, path_graph, or hierarchy is a config
+    error at construction time (was a deferred assert in step build)."""
+    import pytest as _pytest
+
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables, tl, vl = tiny_setup
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=1, loss="SoftTreeSupLoss",
+                      checkpoint_dir=str(tmp_path))
+    with _pytest.raises(ValueError, match="needs a hierarchy"):
+        Trainer(cfg, module, variables, tl, vl)
+
+
+def test_trainer_variables_property(tiny_setup, synthetic_tree, tmp_path):
+    """trainer.variables hands back apply()-form variables (the dict
+    NBDT(params=...) expects) reflecting the live training buffers."""
+    from nbdt_tpu.trainer import TrainConfig, Trainer
+
+    module, variables, tl, vl = tiny_setup
+    cfg = TrainConfig(dataset="CIFAR10", arch="ResNet10", batch_size=8,
+                      epochs=1, loss="CrossEntropyLoss",
+                      checkpoint_dir=str(tmp_path))
+    tr = Trainer(cfg, module, variables, tl, vl, tree=synthetic_tree)
+    v = tr.variables
+    assert set(v) == {"params", "batch_stats"}
+    assert v["params"] is tr.params and v["batch_stats"] is tr.batch_stats
+    logits = module.apply(v, np.zeros((2, 16, 16, 3), np.float32), train=False)
+    assert logits.shape == (2, 7)
