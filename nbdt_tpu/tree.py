@@ -266,10 +266,17 @@ class Tree:
         return leaf_to_steps
 
     def update_from_model(
-        self, params, arch, dataset, classes=None, path_wnids=None, path_graph=None
+        self, params, arch, dataset, classes=None, path_wnids=None,
+        path_graph=None, force: bool = True,
     ) -> None:
         """Regenerate the induced hierarchy from live model params
-        (reference tree.py:176-190, used by SoftTreeLoss)."""
+        (reference tree.py:176-190, used by SoftTreeLoss).
+
+        ``force`` defaults to True: regeneration IS this method's contract
+        (the reference overwrites unconditionally), so the vendored-fixture
+        guard that protects the packaged parity graphs from *accidental*
+        CLI writes must not apply here. Pass ``force=False`` to opt into
+        the guard when ``path_graph`` resolves into the package dir."""
         from .hierarchy.generate import generate_hierarchy
 
         path_graph = generate_hierarchy(
@@ -279,6 +286,7 @@ class Tree:
             params=params,
             path=path_graph,
             wnids=self.wnids_leaves,
+            force=force,
         )
         self.load_hierarchy(
             dataset=dataset,

@@ -117,7 +117,8 @@ def enable_compilation_cache(path: str | None = None) -> None:
     (observed loading cross-host entries with SIGILL warnings even under
     _machine_tag dirs) — and CPU compiles are cheap anyway. The cache
     exists for TPU compiles through the tunnel; the dir is still keyed by
-    _machine_tag as a second line of defense."""
+    _machine_tag as a second line of defense. ``$NBDT_COMPILE_CACHE=<dir>``
+    force-enables anywhere, CPU and axon included."""
     import os as _os
 
     env = _os.environ.get("NBDT_COMPILE_CACHE")
@@ -137,8 +138,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
         platforms = jax.config.jax_platforms or _os.environ.get(
             "JAX_PLATFORMS", ""
         )
-        if platforms and set(platforms.split(",")) <= {"cpu"}:
-            return  # CPU-only process: AOT reuse is unsafe and unneeded
+        if platforms and set(platforms.split(",")) <= {"cpu"} and not env:
+            # CPU-only process: AOT reuse is unsafe and unneeded by
+            # default; $NBDT_COMPILE_CACHE force-enables anywhere (the
+            # documented contract), same as the axon escape below.
+            return
         if "axon" in (platforms or "") and not env:
             # The axon tunnel plugin stalls on persisting larger executables:
             # with the cache on, the first scanned-conv compile of

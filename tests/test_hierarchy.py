@@ -291,7 +291,8 @@ def test_generate_hierarchy_from_centers_only(tmp_path):
     assert os.path.exists(path)
 
 
-def test_generate_hierarchy_refuses_to_clobber_vendored_fixture(tmp_path):
+def test_generate_hierarchy_refuses_to_clobber_vendored_fixture(
+        tmp_path, monkeypatch):
     """Writing over a packaged parity fixture (digest-tested vs the
     reference's shipped graphs) must require force=True; a non-package
     --hierarchies-root and force=True both proceed (round-4 VERDICT weak #4:
@@ -326,16 +327,44 @@ def test_generate_hierarchy_refuses_to_clobber_vendored_fixture(tmp_path):
     )
     assert os.path.exists(path)
 
-    # Escape hatch 2: force=True overwrites (exercised against a copy of the
-    # package layout so the real fixture stays intact).
-    pkg_copy = tmp_path / "pkgroot"
+    # Escape hatch 2: force=True bypasses the guard. Exercised against a
+    # copy of the package layout with utils.fwd() monkeypatched to it, so
+    # the guard genuinely fires on this path (force=False raises) and
+    # force=True is what lets the write through — not merely a write the
+    # guard would have ignored anyway.
+    pkg_root = tmp_path / "pkgroot"
+    pkg_copy = pkg_root / "hierarchies"
     (pkg_copy / "CIFAR10").mkdir(parents=True)
     shutil.copy(fixture, pkg_copy / "CIFAR10" / "graph-induced-ResNet18.json")
+    import nbdt_tpu.utils as utils_mod
+
+    monkeypatch.setattr(utils_mod, "fwd", lambda: pkg_root)
+    with pytest.raises(FileExistsError, match="force"):
+        generate_hierarchy(
+            dataset="CIFAR10", method="induced", centers=centers,
+            wnids=wnids, arch="ResNet18", hierarchies_root=str(pkg_copy),
+        )
     path2 = generate_hierarchy(
         dataset="CIFAR10", method="induced", centers=centers, wnids=wnids,
         arch="ResNet18", hierarchies_root=str(pkg_copy), force=True,
     )
     assert os.path.exists(path2)
+
+    # Tree.update_from_model's contract IS regeneration (reference
+    # tree.py:176-190): its default force=True must overwrite a guarded
+    # fixture without raising.
+    from nbdt_tpu.tree import Tree
+
+    tree = Tree(None, path_graph=path2,
+                classes=[f"c{i}" for i in range(10)], wnids_leaves=wnids)
+    digest_copy = hashlib.sha256(open(path2, "rb").read()).hexdigest()
+    centers2 = np.random.RandomState(1).randn(10, 8).astype(np.float32)
+    tree.update_from_model(
+        {"linear": {"kernel": centers2.T}}, "ResNet18", "CIFAR10",
+        path_graph=str(path2),
+    )
+    assert hashlib.sha256(
+        open(path2, "rb").read()).hexdigest() != digest_copy
 
 
 def test_wordnet_single_path_keeps_reference_fname(tmp_path, monkeypatch):

@@ -29,11 +29,20 @@ SNIPPETS = _python_snippets()
 
 
 def test_doc_has_expected_snippet_split():
+    """The # torch label must track what the snippet actually is: upstream
+    blocks import from `nbdt.`, runnable blocks import from `nbdt_tpu` —
+    a mislabeled runnable snippet would silently skip execution."""
     text = DOC.read_text()
     blocks = re.findall(r"```python\n(.*?)```", text, flags=re.S)
-    torch_side = [b for b in blocks if next(
-        (l for l in b.splitlines() if l.strip()), "").strip() == "# torch"]
-    assert len(blocks) == len(torch_side) + len(SNIPPETS)
+    for block in blocks:
+        first = next((l for l in block.splitlines() if l.strip()), "")
+        if first.strip() == "# torch":
+            assert re.search(r"\bfrom nbdt\.", block), (
+                "torch-labeled block doesn't look upstream-side:\n" + block)
+        else:
+            assert "nbdt_tpu" in block and not re.search(
+                r"\bfrom nbdt\.", block), (
+                "runnable block doesn't target nbdt_tpu:\n" + block)
     assert len(SNIPPETS) >= 3, "guide lost its runnable examples"
 
 

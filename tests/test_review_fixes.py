@@ -666,3 +666,13 @@ def test_compilation_cache_machine_keyed(monkeypatch, tmp_path):
     captured.clear()
     enable_compilation_cache()
     assert captured["jax_compilation_cache_dir"] == str(tmp_path / "cc")
+
+    # 5) ... including on CPU-only processes (the documented
+    # "force-enables anywhere" contract; the CPU early-return must not
+    # shadow the env escape).
+    monkeypatch.setattr(
+        type(jax.config), "jax_platforms", property(lambda self: "cpu")
+    )
+    captured.clear()
+    enable_compilation_cache()
+    assert captured["jax_compilation_cache_dir"] == str(tmp_path / "cc")

@@ -24,7 +24,10 @@ discarded). Per-image forward FLOPs are counted conv-by-conv (2 FLOPs per
 MAC, the convention of docs/PERFORMANCE.md); training steps are costed at
 3x forward. Usage:
 
-    python tools/probe_train_scale.py [--phases wrn,bn,imagenet]
+    python tools/probe_train_scale.py [--phases wrn,bn,tiny,imagenet]
+
+(`tiny` = WRN-28-10 @64px, the TinyImagenet tsw=10 recipe scale — the
+rung whose +4.6% bf16-BN result backs resolve_bn_impl's auto default.)
 """
 
 import argparse
@@ -55,7 +58,7 @@ def log(*a):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phases", default="wrn,bn,imagenet")
+    ap.add_argument("--phases", default="wrn,bn,tiny,imagenet")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--steps-per-call", type=int, default=16)
