@@ -9,7 +9,7 @@ $weight = 1
 python -m nbdt_tpu.main --dataset=$dataset --arch=$model
 
 # 1. generate hierarchy from the trained checkpoint
-python -m nbdt_tpu.bin.nbdt_hierarchy --dataset=$dataset --arch=$model --checkpoint=./checkpoint/ckpt-$dataset-$model.msgpack
+python -m nbdt_tpu.bin.nbdt_hierarchy --dataset=$dataset --arch=$model --checkpoint=./checkpoint/ckpt-$dataset-$model.msgpack --force
 
 # 2. train with soft tree supervision loss (from scratch)
 python -m nbdt_tpu.main --dataset=$dataset --arch=$model --hierarchy=induced-$model --loss=SoftTreeSupLoss --tree-supervision-weight=$weight

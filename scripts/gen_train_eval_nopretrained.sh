@@ -13,7 +13,7 @@ weight=1
 python -m nbdt_tpu.main --dataset="${dataset}" --arch="${model}"
 
 # 1. generate hierarchy from the trained checkpoint
-python -m nbdt_tpu.bin.nbdt_hierarchy --dataset="${dataset}" --arch="${model}" \
+python -m nbdt_tpu.bin.nbdt_hierarchy --dataset="${dataset}" --arch="${model}" --force \
   --checkpoint="./checkpoint/ckpt-${dataset}-${model}.msgpack"
 
 # 2. train with soft tree supervision loss (from scratch; add

@@ -5,7 +5,7 @@ $model = "wrn28_10_cifar10"
 $dataset = "CIFAR10"
 $weight = 1
 
-python -m nbdt_tpu.bin.nbdt_hierarchy --dataset=$dataset --arch=$model
+python -m nbdt_tpu.bin.nbdt_hierarchy --dataset=$dataset --arch=$model --force
 
 python -m nbdt_tpu.main --lr=0.01 --dataset=$dataset --arch=$model --hierarchy=induced-$model --pretrained --loss=SoftTreeSupLoss --tree-supervision-weight=$weight
 

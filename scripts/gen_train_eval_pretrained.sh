@@ -9,7 +9,7 @@ dataset=CIFAR10
 weight=1
 
 # 1. generate hierarchy from the pretrained classifier weights
-python -m nbdt_tpu.bin.nbdt_hierarchy --dataset="${dataset}" --arch="${model}"
+python -m nbdt_tpu.bin.nbdt_hierarchy --dataset="${dataset}" --arch="${model}" --force
 
 # 2. fine-tune with soft tree supervision loss
 python -m nbdt_tpu.main --lr=0.01 --dataset="${dataset}" --arch="${model}" \

@@ -10,7 +10,7 @@ foreach ($spec in $SPECS) {
   $weight = $params[1]
 
   # 1. generate hierarchy
-  python -m nbdt_tpu.bin.nbdt_hierarchy --dataset=$dataset --arch=$model
+  python -m nbdt_tpu.bin.nbdt_hierarchy --dataset=$dataset --arch=$model --force
 
   # 2. train with soft tree supervision loss
   python -m nbdt_tpu.main --dataset=$dataset --arch=$model --hierarchy=induced-$model --loss=SoftTreeSupLoss --tree-supervision-weight=$weight

@@ -7,7 +7,7 @@ ARCH="ResNet18"
 for spec in "CIFAR10 1" "CIFAR100 1" "TinyImagenet200 10"; do
   read -r dataset weight <<< "${spec}"
 
-  python -m nbdt_tpu.bin.nbdt_hierarchy --dataset="${dataset}" --arch="${ARCH}"
+  python -m nbdt_tpu.bin.nbdt_hierarchy --dataset="${dataset}" --arch="${ARCH}" --force
 
   python -m nbdt_tpu.main --lr=0.1 --dataset="${dataset}" --arch="${ARCH}" \
     --hierarchy="induced-${ARCH}" --loss=SoftTreeSupLoss \

@@ -9,7 +9,7 @@ foreach ($spec in $SPECS) {
   $model = $params[1]
   $weight = $params[2]
 
-  python -m nbdt_tpu.bin.nbdt_hierarchy --dataset=$dataset --arch=$model
+  python -m nbdt_tpu.bin.nbdt_hierarchy --dataset=$dataset --arch=$model --force
 
   python -m nbdt_tpu.main --lr=0.01 --dataset=$dataset --arch=$model --hierarchy=induced-$model --pretrained --loss=SoftTreeSupLoss --tree-supervision-weight=$weight
 

@@ -10,7 +10,7 @@ for spec in "CIFAR10 ${ARCH}_cifar10 1" "CIFAR100 ${ARCH}_cifar100 1" "TinyImage
   read -r dataset model weight <<< "${spec}"
 
   # 1. generate hierarchy from the model's classifier weights
-  python -m nbdt_tpu.bin.nbdt_hierarchy --dataset="${dataset}" --arch="${model}"
+  python -m nbdt_tpu.bin.nbdt_hierarchy --dataset="${dataset}" --arch="${model}" --force
 
   # 2. fine-tune with soft tree supervision
   python -m nbdt_tpu.main --lr=0.01 --dataset="${dataset}" --arch="${model}" \

@@ -8,5 +8,5 @@ foreach ($dataset in @("CIFAR10", "CIFAR100")) {
 }
 
 foreach ($dataset in @("CIFAR10", "CIFAR100", "TinyImagenet200")) {
-  python -m nbdt_tpu.bin.nbdt_hierarchy --dataset=$dataset --method=wordnet
+  python -m nbdt_tpu.bin.nbdt_hierarchy --dataset=$dataset --method=wordnet --force
 }

@@ -13,5 +13,5 @@ done
 
 # Generate and test hierarchies
 for dataset in CIFAR10 CIFAR100 TinyImagenet200; do
-  python -m nbdt_tpu.bin.nbdt_hierarchy --dataset="${dataset}" --method=wordnet
+  python -m nbdt_tpu.bin.nbdt_hierarchy --dataset="${dataset}" --method=wordnet --force
 done
