@@ -47,6 +47,20 @@ TORCH_ITERS = 3
 # parent's own init stalled 453 s the same way). The budget must absorb a
 # worst-case handoff stall (~8 min observed) PLUS the compile+measure work.
 FUSED_SUBPROCESS_BUDGET_S = int(os.environ.get("NBDT_FUSED_BUDGET_S", "780"))
+# Whole-run watchdog (round-5 postmortem): the PARENT session's first device
+# op can also wedge — observed >30 min stuck in model+tree init with the
+# probe's numbers already banked, which would have ended a driver run with
+# rc!=0 and NO metric line at all (the tunnel stall is native RPC,
+# uninterruptible by signals, so try/except never fires). A daemon thread
+# ends the run from outside after this budget, emitting the best salvaged
+# result (probe JSON lines are written after each completed measurement for
+# exactly this reason). Default absorbs a clean worst case (~28 min
+# end-to-end observed) with margin.
+TOTAL_BUDGET_S = int(os.environ.get("NBDT_BENCH_BUDGET_S", "2400"))
+# Historical same-session torch-CPU control (58-62 imgs/s across r1-r5
+# runs) — used for vs_baseline ONLY in the watchdog salvage path, where the
+# in-session control never got to run.
+TORCH_CPU_FALLBACK_IPS = 60.0
 
 _T0 = time.time()
 
@@ -427,6 +441,39 @@ def bench_torch() -> float:
     return ips
 
 
+def _arm_watchdog(state: dict) -> None:
+    """Bound the whole run: after TOTAL_BUDGET_S, print the best salvaged
+    result and hard-exit (os._exit works while the main thread is wedged in
+    uninterruptible tunnel RPC; sys.exit/exceptions would not)."""
+    import threading
+
+    def fire():
+        remaining = TOTAL_BUDGET_S - (time.time() - _T0)
+        if remaining > 0:
+            time.sleep(remaining)
+        if state.get("done"):
+            return
+        fused = state.get("fused")
+        if fused:
+            log(f"WATCHDOG: run exceeded {TOTAL_BUDGET_S}s; emitting the "
+                f"salvaged fused-probe result (vs_baseline uses the "
+                f"historical torch-cpu control {TORCH_CPU_FALLBACK_IPS} "
+                f"imgs/s — the in-session control never ran)")
+            print(json.dumps({
+                "metric": "NBDT soft inference images/sec/chip "
+                          "(ResNet18 CIFAR10)",
+                "value": round(fused, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(fused / TORCH_CPU_FALLBACK_IPS, 2),
+            }), flush=True)
+            os._exit(0)
+        log(f"WATCHDOG: run exceeded {TOTAL_BUDGET_S}s with nothing "
+            f"salvageable; exiting")
+        os._exit(1)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
 def main():
     from nbdt_tpu.utils import enable_compilation_cache
 
@@ -434,7 +481,10 @@ def main():
     if "--fused-only" in sys.argv:
         bench_jax_fused_only()
         return
+    state: dict = {}
+    _arm_watchdog(state)
     fused = probe_fused_subprocess()  # before jax init (single-client tunnel)
+    state["fused"] = fused
     if fused:
         # settle: the tunnel stalls when a new session connects immediately
         # after the previous client disconnects
@@ -444,10 +494,13 @@ def main():
         plain = bench_jax()
     except Exception as e:
         log(f"parent jax paths failed: {type(e).__name__}: {e}")
+    if plain:  # keep the salvage result current for a torch-phase stall too
+        state["fused"] = max(plain, fused or 0.0)
     candidates = [v for v in (fused, plain) if v]
     assert candidates, "no JAX path succeeded"
     ours = max(candidates)
     baseline = bench_torch()
+    state["done"] = True  # disarm the watchdog: the real result wins
     result = {
         "metric": "NBDT soft inference images/sec/chip (ResNet18 CIFAR10)",
         "value": round(ours, 1),

@@ -676,3 +676,44 @@ def test_compilation_cache_machine_keyed(monkeypatch, tmp_path):
     captured.clear()
     enable_compilation_cache()
     assert captured["jax_compilation_cache_dir"] == str(tmp_path / "cc")
+
+
+def test_bench_watchdog_salvage_paths():
+    """bench.py's whole-run watchdog (round-5 postmortem: a >30 min parent
+    tunnel wedge would have ended a driver run with no metric line). Three
+    contracts, each in a subprocess since the watchdog hard-exits:
+    salvage -> JSON + rc 0; nothing to salvage -> rc 1; disarmed -> no-op."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+
+    def run(state_expr, sleep_s):
+        return subprocess.run(
+            [sys.executable, "-c", (
+                "import sys, time\n"
+                "import bench\n"
+                "bench.TOTAL_BUDGET_S = 1\n"
+                f"bench._arm_watchdog({state_expr})\n"
+                f"time.sleep({sleep_s})\n"
+                "print('SURVIVED')\n"
+            )],
+            cwd=repo, capture_output=True, text=True, timeout=60,
+        )
+
+    r = run("{'fused': 123456.0}", 30)
+    assert r.returncode == 0
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["value"] == 123456.0 and rec["unit"] == "images/sec/chip"
+    assert rec["vs_baseline"] > 1000  # vs the historical torch-cpu control
+    assert "SURVIVED" not in r.stdout  # hard exit, not a fallthrough
+
+    r = run("{}", 30)
+    assert r.returncode == 1 and "{" not in r.stdout
+
+    r = run("{'fused': 5.0, 'done': True}", 3)
+    assert r.returncode == 0 and "SURVIVED" in r.stdout
+    assert "{" not in r.stdout  # disarmed: no salvage line
